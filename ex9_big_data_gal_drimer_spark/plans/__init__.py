@@ -1,0 +1,5 @@
+"""Query plan registry — import side-effect registers all queries."""
+
+from .registry import ORACLES, QUERIES, register  # noqa: F401
+
+from . import queries_parity  # noqa: F401,E402

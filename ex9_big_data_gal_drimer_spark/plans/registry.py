@@ -1,0 +1,38 @@
+"""Query registry — the driver-facing contract surface.
+
+Each implemented operator/query from SURVEY.md §2 registers here as a
+``(spark, sf_dir) -> DataFrame`` callable, optionally paired with the
+ANSI-SQL oracle text DuckDB runs on the same parquet tables.  The
+driver compares row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically in both forms;
+- every float column is ROUND()ed identically in both forms;
+- DuckDB integer SUMs are CAST to BIGINT (DuckDB promotes to HUGEINT,
+  Spark keeps LongType).
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and its DuckDB oracle SQL) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
