@@ -4,3 +4,4 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 from . import queries_parity  # noqa: F401,E402
 from . import queries_relational  # noqa: F401,E402
+from . import queries_events  # noqa: F401,E402

@@ -1,0 +1,185 @@
+"""Event-time window aggregations, batch form (SURVEY.md §2.10, phase 5).
+
+The reference has no streaming surface; these are the batch-equivalent
+forms of the Structured Streaming operators (the streaming wrappers in
+``ex9_big_data_gal_drimer_spark.streaming`` reuse the same column
+expressions over ``readStream``).  Batch form keeps them
+DuckDB-oracle-checkable: `F.window` ≡ `time_bucket`, session windows ≡
+gaps-and-islands SQL.
+
+Determinism notes:
+- events.ts is naive (UTC) microsecond precision after catalog
+  normalization; both engines bucket on the same epoch-aligned grid.
+- Session boundary: Spark's session window is [start, last_event+gap),
+  end-exclusive, so an event exactly `gap` after the previous one
+  starts a NEW session — the oracle uses `>=` to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import register
+
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: `F.window` in batch mode
+    — identical expression works under readStream with a watermark."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH bucketed AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, value FROM events
+    ), expanded AS (
+        SELECT b AS window_start, value FROM bucketed
+        UNION ALL
+        SELECT b - INTERVAL 30 MINUTE AS window_start, value FROM bucketed
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    2 windows.  The oracle expands each event into its two window
+    starts explicitly — same semantics Spark's window-expand physical
+    node applies."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "total_value"
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_session_10m",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user via F.session_window.
+    The oracle is the classic gaps-and-islands rewrite; Spark's session
+    end = last event + gap, end-exclusive."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "event_type_rates",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(AVG(value), 2) AS avg_value
+        FROM events
+        GROUP BY event_type
+    ), total AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total_events FROM per_type
+    )
+    SELECT event_type, n_events, n_users, avg_value,
+           ROUND(n_events * 100.0 / total_events, 2) AS pct_of_all
+    FROM per_type, total
+    ORDER BY n_events DESC, event_type
+    """,
+)
+def event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type mix: per-group distinct users + percent-of-all-events
+    (the reference's percent-of-total pattern on the stream table)."""
+    events = table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+    total = per_type.agg(F.sum("n_events").alias("total_events"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            "avg_value",
+            F.round(F.col("n_events") * 100.0 / F.col("total_events"), 2).alias(
+                "pct_of_all"
+            ),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )
