@@ -109,15 +109,19 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
     Hash family: xxhash64(shingle || '#i') for i in 0..num_hashes-1 —
     deterministic, JVM-side, no UDF.  Empty shingle arrays yield NULL
     mins; callers should filter empty docs first.
+
+    NB: the per-i closure must be built by a factory, not a defaulted
+    lambda parameter — PySpark binds extra lambda parameters to
+    higher-order-function variables (the element index), silently
+    shadowing the default.
     """
+
+    def hash_fn(i: int):
+        suffix = F.lit(f"#{i}")
+        return lambda s: F.xxhash64(F.concat(s, suffix))
+
     sigs = [
-        F.array_min(
-            F.transform(
-                shingles_col,
-                lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}"))),
-            )
-        )
-        for i in range(num_hashes)
+        F.array_min(F.transform(shingles_col, hash_fn(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
 

@@ -1,0 +1,225 @@
+"""Deduplication operators (SURVEY.md §2.11 X1/X2).
+
+Four tiers, increasing scale-tolerance:
+
+1. exact_dedup        — hash-groupBy on normalized text; one shuffle.
+2. ngram_jaccard_pairs — blocked all-pairs Jaccard; exact within
+   blocks, quadratic *per block* (fine when blocks are bounded).
+3. minhash_lsh_pairs  — MinHash signatures + banded LSH; candidate
+   pairs grow ~linearly with data, the 100 TB path.
+4. simhash_pairs      — 64-bit SimHash; near-dup = small Hamming
+   distance; bucketed by rotated prefixes.
+
+All are pure DataFrame/JVM expressions — no Python UDFs — so they run
+inside whole-stage codegen and survive AQE re-planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    band_hashes,
+    jaccard,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+
+#: Normalization used by every text-dedup tier: lowercase + collapse
+#: whitespace (mirrors the reference's TRIM usage, main.py:118,147).
+def normalized_text(col: F.Column) -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per normalized-text group.
+
+    Returns the deduplicated id set (`keep_doc_id`) with group sizes.
+    One hash-shuffle on the md5 fingerprint; at 100 TB the fingerprint
+    groupBy is the canonical exact-dedup plan (no sort, no window).
+    """
+    return (
+        df.groupBy(F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs within blocks."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sim = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, cond)
+        .filter(sim >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(sim, 4).alias("jaccard_sim"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded-LSH near-dup pairs, verified by exact Jaccard.
+
+    Plan shape (the part that matters at 100 TB):
+      1. signatures: one narrow map-side pass per doc (no shuffle);
+      2. explode to (band_id, band_hash) — num_bands rows per doc;
+      3. self-join on the band bucket — candidates only ever meet
+         inside a bucket, so the join is an equi-join Catalyst can
+         hash-partition; no cross product exists anywhere;
+      4. distinct candidate pairs → exact-Jaccard verify on the
+         (much smaller) candidate set.
+
+    With 16 hashes / 4 bands (r=4), P[candidate] = 1-(1-j^4)^4:
+    j=0.5 → 23%, j=0.8 → 87%, j=0.9 → 96% — tuned for high-precision
+    near-dup detection; raise num_hashes for higher recall at lower j.
+    """
+    rows_per_band = num_hashes // num_bands
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+    sigs = docs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            band_hashes(
+                minhash_signature(F.col("sh"), num_hashes), num_bands, rows_per_band
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+    a, b = sigs.alias("a"), sigs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    sim = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        candidates.filter(sim >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round(sim, 4).alias("jaccard_sim"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via the block-permutation trick.
+
+    64-bit SimHash per doc over k-word shingle features (shingles, not
+    unigrams — unigram features are weakly discriminative on
+    small-vocabulary corpora): sign-sum of feature hashes per bit,
+    computed as 64 JVM-side aggregates (sum of ±1 per bit) — no UDF.
+    Pairs within Hamming distance `max_hamming` are found by splitting
+    the fingerprint into `num_blocks` 16-bit blocks: any pair within
+    distance d < num_blocks shares ≥1 exact block (pigeonhole), so the
+    candidate join is an equi-join on (block_id, block_value).
+    """
+    toks = word_shingles(tokens(F.col(text_col)), shingle_k)
+    docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+
+    # bit b of simhash = sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1)
+    th = F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+
+    # closure factory, NOT a defaulted lambda param: PySpark binds extra
+    # lambda parameters to HOF variables, shadowing the default.
+    def bit_merge(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for bit in range(64):
+        bit_sum = F.aggregate(th, F.lit(0), bit_merge(bit))
+        bit_cols.append(F.when(bit_sum > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{bit}"))
+    with_bits = docs.select("doc_id", *bit_cols)
+
+    # pack bits into 4 x 16-bit block values
+    bits_per_block = 64 // num_blocks
+    block_exprs = []
+    for blk in range(num_blocks):
+        expr = F.lit(0).cast("long")
+        for i in range(bits_per_block):
+            expr = expr + (
+                F.col(f"b{blk * bits_per_block + i}").cast("long")
+                * F.lit(2**i).cast("long")
+            )
+        block_exprs.append(expr.alias(f"blk{blk}"))
+    hamming_expr = None
+    fp = with_bits.select("doc_id", *block_exprs, *[F.col(f"b{i}") for i in range(64)])
+
+    buckets = fp.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"blk{i}") for i in range(num_blocks)])).alias(
+            "block_id", "block_value"
+        ),
+        *[F.col(f"b{i}") for i in range(64)],
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = sum(
+        (F.col(f"a.b{i}") != F.col(f"b.b{i}")).cast("int") for i in range(64)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_value") == F.col("b.block_value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

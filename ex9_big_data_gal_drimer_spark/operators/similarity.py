@@ -1,0 +1,154 @@
+"""Vector similarity search operators (SURVEY.md §2.11 X3).
+
+- brute_force_topk: exact cosine top-k of query vectors against the
+  corpus; query side broadcast.  The correctness baseline.
+- lsh_cosine_topk: random-hyperplane LSH (sign-bucket hashing) —
+  candidates share a hash bucket in ≥1 of `num_tables` tables; exact
+  cosine re-rank on candidates only.  The 100 TB path: bucketing is a
+  broadcast join against a (num_tables × hash_bits)-row hyperplane
+  table + one narrow shuffle; the candidate join is bucket-equi,
+  never a cross product.
+
+Hyperplanes come from a seeded RNG on the driver (tiny) and ship as a
+broadcast DataFrame — keeping the logical plan small (a literal-folded
+variant produced 10 MiB task binaries and minutes of analysis time).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cosine_similarity, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query; ranking on ROUNDed sim for
+    cross-engine determinism."""
+    sim = F.round(
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)), sim_scale
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _planes_df(spark, dim: int, num_tables: int, hash_bits: int, seed: int) -> DataFrame:
+    rng = random.Random(seed)
+    rows = [
+        (t, b, [rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for t in range(num_tables)
+        for b in range(hash_bits)
+    ]
+    return spark.createDataFrame(rows, "table_id INT, bit INT, plane ARRAY<DOUBLE>")
+
+
+def _bucketed(df: DataFrame, planes: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) → (id, vec, table_id, bucket): sign-bit LSH bucket per
+    table.  Broadcast-join with the planes table (num_tables×hash_bits
+    rows), then pack sign bits per (id, table) in one aggregation."""
+    signs = (
+        df.crossJoin(F.broadcast(planes))
+        .select(
+            id_col,
+            vec_col,
+            "table_id",
+            "bit",
+            (dot(F.col(vec_col), F.col("plane")) > 0).cast("long").alias("sign"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "table_id",
+            F.expr("shiftleft(sign, bit)").alias("bit_value"),
+        )
+    )
+    return signs.groupBy(id_col, "table_id").agg(
+        F.first(vec_col).alias(vec_col),
+        F.sum("bit_value").alias("bucket"),
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_tables: int = 16,
+    hash_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH candidates +
+    exact re-rank.
+
+    P[one-table collision] = (1 - theta/pi)^hash_bits.  Defaults
+    (16 tables × 4 bits) are tuned for corpora whose nearest
+    neighbors sit at modest similarity (theta ≈ 70° → ≥1-of-16 ≈ 0.9
+    recall); for tightly clustered corpora raise hash_bits to cut the
+    candidate count — selectivity, not recall, is the binding
+    constraint there.
+    """
+    spark = corpus.sparkSession
+    planes = _planes_df(spark, dim, num_tables, hash_bits, seed)
+
+    cb = _bucketed(corpus, planes, id_col, vec_col)
+    qb = _bucketed(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
+        ),
+        planes,
+        "__qid",
+        "__qv",
+    )
+
+    candidates = (
+        cb.join(
+            F.broadcast(qb),
+            (cb.table_id == qb.table_id)
+            & (cb.bucket == qb.bucket)
+            & (F.col(id_col) != F.col("__qid")),
+        )
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__qv").alias(query_vec_col),
+            id_col,
+            vec_col,
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+
+    sim = F.round(
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)), sim_scale
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        candidates.select(
+            query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,116 @@
+"""Batch ETL pipeline: materialize → sample → export → document.
+
+Reproduces the reference's end-to-end lifecycle (SURVEY.md §3.1,
+reference main.py:239-338,370-399) with the redundancies removed:
+
+- reference: each query executes twice (fetchall + CTAS) and the CSV
+  is re-scanned per query.  Here: one logical plan per query, cached
+  across the two sinks, executed once per sink action.
+- reference: sample rows round-trip DuckDB→pandas→DuckDB→SQLite.
+  Here: the sample is a DataFrame derived from the cached result;
+  export happens at the already-small (≤500 rows) boundary.
+
+Sinks (SURVEY.md §2.1): S3 CTAS → ``saveAsTable`` (Parquet tables in
+the warehouse), R1 seeded sample tables, S9 SQLite export via
+pandas (the serving DB stays tiny by construction), S7/S8/S12 catalog
+introspection → markdown docs.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sqlite3
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.sampling import seeded_sample_n
+
+SAMPLE_ROWS = 500
+SAMPLE_SEED = 42
+
+
+def materialize_query(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    sample_rows: int = SAMPLE_ROWS,
+    seed: int = SAMPLE_SEED,
+) -> tuple[str, str]:
+    """CTAS the full result + a seeded ≤n-row sample table.
+
+    `{name}_results` and `{name}_sample` land in the session warehouse
+    as Parquet tables (reference main.py:265-289, minus the double
+    execution: the result plan is cached once, both sinks read it).
+    """
+    results_table = f"{name}_results"
+    sample_table = f"{name}_sample"
+    df = df.cache()
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {results_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {sample_table}")
+        df.write.mode("overwrite").saveAsTable(results_table)
+        seeded_sample_n(df, sample_rows, seed).write.mode("overwrite").saveAsTable(
+            sample_table
+        )
+    finally:
+        df.unpersist()
+    return results_table, sample_table
+
+
+def run_pipeline(
+    spark: SparkSession,
+    queries: Mapping[str, Callable[[SparkSession, str], DataFrame]],
+    sf_dir: str,
+) -> dict[str, tuple[str, str]]:
+    """Materialize every query; returns {name: (results, sample)}."""
+    return {
+        name: materialize_query(spark, name, fn(spark, sf_dir))
+        for name, fn in queries.items()
+    }
+
+
+def export_samples_to_sqlite(
+    spark: SparkSession, sqlite_path: str, table_filter: str = "_sample"
+) -> list[str]:
+    """Export every sample table to a SQLite serving DB (S9).
+
+    The reference ships ``small_tables.db`` the same way
+    (main.py:300-338).  Tables are ≤SAMPLE_ROWS rows by construction,
+    so the pandas hop is the right tool — a JDBC writer would add a
+    jar dependency to move kilobytes.
+    """
+    os.makedirs(os.path.dirname(sqlite_path) or ".", exist_ok=True)
+    exported = []
+    with sqlite3.connect(sqlite_path) as conn:
+        for t in spark.catalog.listTables():
+            if table_filter in t.name:
+                spark.table(t.name).toPandas().to_sql(
+                    t.name, conn, if_exists="replace", index=False
+                )
+                exported.append(t.name)
+    return exported
+
+
+def generate_documentation(spark: SparkSession, out_path: str) -> str:
+    """Catalog docs: table list, row counts, schemas → markdown.
+
+    Reference main.py:340-399 via information_schema/PRAGMA; here
+    spark.catalog.listTables/listColumns + df.count.
+    """
+    lines = [
+        "# Database documentation",
+        "",
+        f"Generated: {datetime.datetime.now(datetime.timezone.utc):%Y-%m-%d %H:%M:%S} UTC",
+        "",
+    ]
+    for t in sorted(spark.catalog.listTables(), key=lambda t: t.name):
+        df = spark.table(t.name)
+        lines += [f"## {t.name}", "", f"Rows: {df.count()}", "", "| column | type |", "|---|---|"]
+        lines += [f"| {f.name} | {f.dataType.simpleString()} |" for f in df.schema.fields]
+        lines.append("")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines))
+    return out_path

@@ -1,0 +1,54 @@
+"""Scale-path LLM operators: LSH dedup & similarity (SURVEY.md §2.11).
+
+These are the 100 TB variants of the oracle-checked exact operators in
+queries_llm.  They are registered WITHOUT oracle SQL (driver records a
+rows-only check): the hash families (xxhash64, seeded hyperplanes)
+are not expressible in DuckDB SQL.  Their correctness is instead
+pinned by tests/test_scale_ops.py, which verifies them against the
+exact operators (recall on the known near-dup/neighbor sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
+from ..operators.similarity import lsh_cosine_topk
+from .registry import register
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: MinHash-banded-LSH candidates + exact-Jaccard
+    verification.  Candidate generation is an equi-join on band
+    buckets — no quadratic blow-up at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, shingle_k=3, threshold=0.5
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 alternative: 64-bit SimHash over 3-word shingles,
+    block-permutation candidate join, Hamming-distance verify."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, num_blocks=4).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+@register("knn_lsh_cosine")
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH bucketing + exact re-rank
+    of candidates only."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dim = len(emb.select("v").first()["v"])
+    return lsh_cosine_topk(emb, queries, dim=dim, k=5).orderBy("query_id", "rnk")

@@ -1,0 +1,99 @@
+"""Verification of the non-SQL-expressible scale operators.
+
+The LSH operators can't be DuckDB-oracle-checked (hash families are
+engine-specific), so they're pinned against the exact operators they
+approximate: every high-similarity pair/neighbor the exact operator
+finds must be found by the LSH variant (recall on the planted sets),
+and everything the LSH variant reports must verify exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ex9_big_data_gal_drimer_spark.catalog import table
+from ex9_big_data_gal_drimer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from ex9_big_data_gal_drimer_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_cosine_topk,
+)
+
+from conftest import SF_DIR
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = table(spark, SF_DIR, "documents")
+    # exact near-dup truth: UNblocked all-pairs jaccard (feasible at
+    # test scale; planted near-dups can span languages)
+    truth = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(docs, block_cols=(), threshold=0.5).collect()
+    }
+    found = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard_sim
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert truth, "testdata should contain planted near-dup pairs"
+    # precision: every reported pair is exact-verified by construction
+    # (the operator re-checks Jaccard), so found ⊆ truth
+    assert set(found) <= truth
+    # recall: banded LSH (16 hashes, 4 bands) must catch the planted
+    # high-similarity pairs (all planted pairs have j >= 0.5; pairs at
+    # j≈0.5 have ~23% per-run candidate probability, but the planted
+    # ones are j >= 0.9 → ~96%)
+    high = truth and {p for p in truth}
+    recall = len(set(found) & truth) / len(truth)
+    assert recall >= 0.5, f"LSH recall too low: {recall} ({len(found)}/{len(truth)})"
+
+
+def test_exact_dedup_counts(spark):
+    docs = table(spark, SF_DIR, "documents")
+    groups = exact_dedup(docs)
+    total = groups.agg(F.sum("n_copies")).first()[0]
+    assert total == docs.count()
+    # keep ids are unique
+    assert groups.select("keep_doc_id").distinct().count() == groups.count()
+
+
+def test_lsh_cosine_topk_recall(spark):
+    emb = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dim = len(emb.select("v").first()["v"])
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_cosine_topk(emb, queries, dim=dim, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # clustered testdata → top-5 neighbors are near (FIXTURES.md §4);
+    # random-hyperplane LSH with 8×8 tables should recover most
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall {recalls}"
+
+
+def test_simhash_finds_near_dups(spark):
+    from ex9_big_data_gal_drimer_spark.operators.dedup import simhash_pairs
+
+    docs = table(spark, SF_DIR, "documents")
+    truth = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(docs, block_cols=(), threshold=0.9).collect()
+    }
+    found = {(r.doc_id_a, r.doc_id_b) for r in simhash_pairs(docs).collect()}
+    # very-high-similarity pairs should be within a few SimHash bits
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.5, f"simhash recall {recall}"
