@@ -43,19 +43,33 @@ DIM_TABLES = {"region", "nation", "supplier", "part"}
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def normalize_nano_timestamps(
+    df: DataFrame, cols: tuple[str, ...], ntz: bool = True
+) -> DataFrame:
+    """Convert INT64-nano columns (surfaced as LongType) to timestamps.
+    Integer nano→micro division keeps full precision (a double
+    round-trip would lose it: 1.7e18 > 2^53).
+
+    ``ntz=True`` yields timestamp_ntz (matches how Spark reads the
+    micro-precision columns in the other tables, and what the DuckDB
+    oracle sees).  Streaming callers pass ``ntz=False``: event-time
+    watermarks require TIMESTAMP (LTZ) — equal wall-clock values under
+    the engine's fixed UTC session timezone.
+    """
+    for col in cols:
+        if dict(df.dtypes).get(col) == "bigint":
+            expr = f"timestamp_micros({col} div 1000)"
+            if ntz:
+                expr = f"CAST({expr} AS timestamp_ntz)"
+            df = df.withColumn(col, F.expr(expr))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame, normalizing timestamps."""
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            # integer nano→micro division keeps full precision (a
-            # double round-trip would lose it: 1.7e18 > 2^53).
-            df = df.withColumn(
-                col,
-                F.expr(f"CAST(timestamp_micros({col} div 1000) AS timestamp_ntz)"),
-            )
-    return df
+    return normalize_nano_timestamps(df, _NANO_TS_COLS.get(name, ()))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Streaming window operators over an events-shaped stream.
+
+The reference has no streaming (SURVEY.md §2.10); this is the additive
+Structured Streaming surface.  Each transformation reuses the SAME
+column expressions as the batch queries in plans.queries_events — the
+function takes any events-shaped DataFrame, batch or streaming, so the
+batch forms remain the DuckDB-oracle-checkable truth and the streaming
+forms add watermarking/output-mode on top.
+
+At scale: watermark bounds state; tumbling/sliding aggs keep one state
+row per (window, key); session windows merge state per key;
+dropDuplicatesWithinWatermark bounds the dedup state to the watermark
+horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import normalize_nano_timestamps
+from ..session import configure
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (smoke/testing rig; in production this is a Kafka/Kinesis source
+    with the same schema — everything downstream is source-agnostic).
+
+    The directory must contain only events-shaped files.  The stream
+    uses the RAW file schema (events.ts is INT64-nanos → LongType under
+    nanosAsLong) and applies the same timestamp normalization as the
+    batch catalog afterwards.
+    """
+    configure(spark)
+    raw_schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    return normalize_nano_timestamps(stream, ("ts",), ntz=False)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling window counts per event type; watermark bounds state
+    and admits late events up to the horizon."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user (same expression as the batch oracle
+    query events_session_10m)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; batch frames fall back to plain
+    dropDuplicates (same result set on static data)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Run a streaming transformation into an in-memory sink (tests)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,66 @@
+"""Structured Streaming smoke tests (SURVEY.md §2.10 / phase 5).
+
+The streaming transformations share column expressions with the
+oracle-checked batch queries; these tests verify the streaming
+machinery itself: the file source feeds them, watermarks/output modes
+are accepted, and the streamed result equals the batch result once the
+source is exhausted (availableNow trigger; complete output mode for
+the window aggs — append mode correctly withholds windows the
+watermark has not passed yet, which at end-of-stream is the tail).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ex9_big_data_gal_drimer_spark.catalog import load_table
+from ex9_big_data_gal_drimer_spark.streaming.windows import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory_sink,
+    session_stats,
+    tumbling_counts,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _run_and_fetch(spark, stream_df, name, mode="append"):
+    q = run_to_memory_sink(stream_df, name, output_mode=mode)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    got = _run_and_fetch(
+        spark, tumbling_counts(stream), "t_tumbling", mode="complete"
+    ).collect()
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_streaming_session_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_and_fetch(
+        spark, session_stats(stream), "t_session", mode="complete"
+    ).collect()
+    batch = session_stats(load_table(spark, SF_DIR, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_streaming_dedup(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_and_fetch(spark, dedup_within_watermark(stream), "t_dedup").count()
+    batch = load_table(spark, SF_DIR, "events").dropDuplicates(["event_id"]).count()
+    assert got == batch
