@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import case_map, percent_of, token_count
+from ..functions import case_map, token_count
+from ..operators.relational import percent_of_total
 
 #: HotelRating word → 1-5; anything else (incl. 'All') → NULL
 #: (reference main.py:23-29 — CASE with no ELSE).
@@ -48,17 +49,9 @@ def q1_hotels_by_country(hotels: DataFrame) -> DataFrame:
             F.round(F.avg("rating"), 2).alias("avg_rating"),
         )
     )
-    total = county.agg(F.sum("num_hotels").alias("world_total_hotels"))
     return (
-        county.crossJoin(F.broadcast(total))
-        .select(
-            "countyName",
-            "num_hotels",
-            "avg_rating",
-            percent_of(F.col("num_hotels"), F.col("world_total_hotels")).alias(
-                "pct_of_world"
-            ),
-        )
+        percent_of_total(county, "num_hotels", pct_col="pct_of_world")
+        .select("countyName", "num_hotels", "avg_rating", "pct_of_world")
         .orderBy(F.desc("num_hotels"), "countyName")
     )
 
@@ -72,15 +65,17 @@ def q2_luxury_hotels(hotels: DataFrame) -> DataFrame:
         .groupBy("countyName")
         .agg(F.countDistinct("HotelCode").alias("num_luxury_hotels"))
     )
-    total = county.agg(F.sum("num_luxury_hotels").alias("total_luxury_hotels_worldwide"))
     return (
-        county.crossJoin(F.broadcast(total))
+        percent_of_total(
+            county,
+            "num_luxury_hotels",
+            pct_col="pct_of_world_luxury",
+            total_col="total_luxury_hotels_worldwide",
+        )
         .select(
             "countyName",
             "num_luxury_hotels",
-            percent_of(
-                F.col("num_luxury_hotels"), F.col("total_luxury_hotels_worldwide")
-            ).alias("pct_of_world_luxury"),
+            "pct_of_world_luxury",
             "total_luxury_hotels_worldwide",
         )
         .orderBy(F.desc("num_luxury_hotels"), "countyName")

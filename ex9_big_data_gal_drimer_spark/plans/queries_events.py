@@ -164,22 +164,15 @@ def event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type mix: per-group distinct users + percent-of-all-events
     (the reference's percent-of-total pattern on the stream table)."""
     events = table(spark, sf_dir, "events")
+    from ..operators.relational import percent_of_total
+
     per_type = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.avg("value"), 2).alias("avg_value"),
     )
-    total = per_type.agg(F.sum("n_events").alias("total_events"))
     return (
-        per_type.crossJoin(F.broadcast(total))
-        .select(
-            "event_type",
-            "n_events",
-            "n_users",
-            "avg_value",
-            F.round(F.col("n_events") * 100.0 / F.col("total_events"), 2).alias(
-                "pct_of_all"
-            ),
-        )
+        percent_of_total(per_type, "n_events", pct_col="pct_of_all")
+        .select("event_type", "n_events", "n_users", "avg_value", "pct_of_all")
         .orderBy(F.desc("n_events"), "event_type")
     )

@@ -270,20 +270,16 @@ def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 language mix with percent-of-corpus (reference
     percent-of-total pattern, main.py:49, on the documents table)."""
+    from ..operators.relational import percent_of_total
+
     docs = table(spark, sf_dir, "documents")
     c = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    t = c.agg(F.sum("n_docs").alias("total"))
     return (
-        c.crossJoin(F.broadcast(t))
-        .select(
-            "lang",
-            "n_docs",
-            "total_chars",
-            F.round(F.col("n_docs") * 100.0 / F.col("total"), 2).alias("pct_docs"),
-        )
+        percent_of_total(c, "n_docs", pct_col="pct_docs")
+        .select("lang", "n_docs", "total_chars", "pct_docs")
         .orderBy(F.desc("n_docs"), "lang")
     )
 

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import case_map, percent_of, token_count
+from ..functions import case_map, token_count
+from ..operators.relational import percent_of_total
 from .registry import register
 
 
@@ -69,8 +70,9 @@ def _orders_with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q1 shape (reference main.py:18-52): per-group distinct count,
-    AVG, and percent-of-world via broadcast cross join of the 1-row
-    global total (J1/A1/A2/A3/A7/O1)."""
+    AVG, and percent-of-world (J1/A1/A2/A3/A7/O1).  The total is
+    attached with the single-pass window form — the oracle's cross-join
+    SQL re-executes its CTE, this plan does not (operators.relational)."""
     per_nation = (
         _orders_with_nation(spark, sf_dir)
         .groupBy(F.col("n_name").alias("nation"))
@@ -79,15 +81,9 @@ def q1_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_totalprice"),
         )
     )
-    total = per_nation.agg(F.sum("num_orders").alias("world_total"))
     return (
-        per_nation.crossJoin(F.broadcast(total))
-        .select(
-            "nation",
-            "num_orders",
-            "avg_totalprice",
-            percent_of(F.col("num_orders"), F.col("world_total")).alias("pct_of_world"),
-        )
+        percent_of_total(per_nation, "num_orders", pct_col="pct_of_world")
+        .select("nation", "num_orders", "avg_totalprice", "pct_of_world")
         .orderBy(F.desc("num_orders"), "nation")
     )
 
@@ -117,24 +113,21 @@ def q1_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q2 shape (reference main.py:54-74): IN filter, per-group distinct
     count, percent-of-total, and the global total attached to every row
-    (P4/A1/A3/A7/J1)."""
+    (P4/A1/A3/A7/J1) — window form, one pass."""
     urgent = (
         _orders_with_nation(spark, sf_dir)
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.countDistinct("o_orderkey").alias("num_urgent_orders"))
     )
-    total = urgent.agg(F.sum("num_urgent_orders").alias("world_urgent_orders"))
     return (
-        urgent.crossJoin(F.broadcast(total))
-        .select(
-            "nation",
+        percent_of_total(
+            urgent,
             "num_urgent_orders",
-            percent_of(F.col("num_urgent_orders"), F.col("world_urgent_orders")).alias(
-                "pct_of_world"
-            ),
-            "world_urgent_orders",
+            pct_col="pct_of_world",
+            total_col="world_urgent_orders",
         )
+        .select("nation", "num_urgent_orders", "pct_of_world", "world_urgent_orders")
         .orderBy(F.desc("num_urgent_orders"), "nation")
     )
 
