@@ -110,34 +110,35 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
     deterministic, JVM-side, no UDF.  Empty shingle arrays yield NULL
     mins; callers should filter empty docs first.
 
-    NB: the per-i closure must be built by a factory, not a defaulted
-    lambda parameter — PySpark binds extra lambda parameters to
-    higher-order-function variables (the element index), silently
-    shadowing the default.
+    Built as ONE nested higher-order expression (outer transform over
+    the hash index, inner over the shingles).  A Python loop of
+    num_hashes separate expressions inlines the shingle subtree into
+    every one of them after projection collapse — observed to
+    recompute shingles hundreds of times per row.
     """
-
-    def hash_fn(i: int):
-        suffix = F.lit(f"#{i}")
-        return lambda s: F.xxhash64(F.concat(s, suffix))
-
-    sigs = [
-        F.array_min(F.transform(shingles_col, hash_fn(i))) for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles_col,
+                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+            )
+        ),
+    )
 
 
 def band_hashes(signature_col: Column, num_bands: int, rows_per_band: int) -> Column:
-    """LSH band hashes: array of num_bands hashes of signature slices."""
-    bands = [
-        F.xxhash64(
+    """LSH band hashes: array of num_bands hashes of signature slices
+    (single nested expression — see minhash_signature)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
             F.concat_ws(
                 ",",
-                *[
-                    F.element_at(signature_col, b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ],
+                F.transform(
+                    F.slice(signature_col, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
             )
-        )
-        for b in range(num_bands)
-    ]
-    return F.array(*bands)
+        ),
+    )

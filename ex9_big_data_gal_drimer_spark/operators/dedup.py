@@ -57,25 +57,53 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs within blocks."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        word_shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
+    """Exact shingle-Jaccard near-dup pairs within blocks, via an
+    inverted index.
+
+    Shape: explode distinct shingles → self-equi-join on (block,
+    shingle) → |A∩B| is a pair COUNT, |A∪B| = |A|+|B|-|A∩B| from
+    carried sizes.  No per-pair array operations ever execute: pairs
+    sharing zero shingles never meet, and the join+count parallelize
+    on the shingle hash.  (A direct all-pairs array_intersect form ran
+    40 s at sf0.1 — per-pair array ops on AQE-coalesced partitions
+    serialize; this form is the 100 TB-shaped plan.)
+    """
+    # The source is often a few big parquet files → few input
+    # partitions; fan out BEFORE the (interpreted-HOF) shingle work or
+    # it runs serially.  Cheap: one narrow shuffle of the raw rows.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            word_shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
+        )
+        .select("doc_id", *block_cols, F.size("sh").alias("n_sh"), "sh")
     )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    posting = base.select(
+        "doc_id", *block_cols, "n_sh", F.explode("sh").alias("shingle")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    sim = jaccard(F.col("a.sh"), F.col("b.sh"))
+    inter = F.count(F.lit(1)).cast("double")
+    union = (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")).cast("double")
+    sim = F.col("n_inter").cast("double") / union
     return (
         a.join(b, cond)
-        .filter(sim >= threshold)
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.round(sim, 4).alias("jaccard_sim"),
+            F.col("a.n_sh").alias("n_sh_a"),
+            F.col("b.n_sh").alias("n_sh_b"),
         )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(sim >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round(sim, 4).alias("jaccard_sim"))
     )
 
 
@@ -104,10 +132,20 @@ def minhash_lsh_pairs(
     near-dup detection; raise num_hashes for higher recall at lower j.
     """
     rows_per_band = num_hashes // num_bands
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # First shuffle parallelizes the shingle build across cores; the
+    # second materializes `sh` behind an exchange so the 16 signature
+    # lambdas read the stored array instead of re-deriving the shingles
+    # per hash (projection collapse would otherwise inline it).
+    docs = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(tokens(F.col(text_col)), shingle_k).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .repartition(par, F.col("doc_id"))
+    )
 
     sigs = docs.select(
         "doc_id",
@@ -162,51 +200,51 @@ def simhash_pairs(
     distance d < num_blocks shares ≥1 exact block (pigeonhole), so the
     candidate join is an equi-join on (block_id, block_value).
     """
-    toks = word_shingles(tokens(F.col(text_col)), shingle_k)
-    docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-        F.size("toks") > 0
+    feats = word_shingles(tokens(F.col(text_col)), shingle_k)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), feats.alias("toks"))
+        .filter(F.size("toks") > 0)
     )
 
-    # bit b of simhash = sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1)
-    th = F.transform(F.col("toks"), lambda t: F.xxhash64(t))
-
-    # closure factory, NOT a defaulted lambda param: PySpark binds extra
-    # lambda parameters to HOF variables, shadowing the default.
-    def bit_merge(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for bit in range(64):
-        bit_sum = F.aggregate(th, F.lit(0), bit_merge(bit))
-        bit_cols.append(F.when(bit_sum > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{bit}"))
-    with_bits = docs.select("doc_id", *bit_cols)
-
-    # pack bits into 4 x 16-bit block values
     bits_per_block = 64 // num_blocks
-    block_exprs = []
-    for blk in range(num_blocks):
-        expr = F.lit(0).cast("long")
-        for i in range(bits_per_block):
-            expr = expr + (
-                F.col(f"b{blk * bits_per_block + i}").cast("long")
-                * F.lit(2**i).cast("long")
-            )
-        block_exprs.append(expr.alias(f"blk{blk}"))
-    hamming_expr = None
-    fp = with_bits.select("doc_id", *block_exprs, *[F.col(f"b{i}") for i in range(64)])
+    # Explode features and compute the 64 per-bit ±1 sums as ONE
+    # whole-stage-codegen HashAggregate (64 cheap SUM exprs over a long
+    # column).  Formulating the bit sums as nested higher-order lambdas
+    # instead re-evaluates the feature/hash subtree once per outer
+    # lambda element — observed 64× per-row recompute, minutes at sf0.1.
+    hashed = docs.select(
+        "doc_id", F.explode(F.expr("transform(toks, t -> xxhash64(t))")).alias("h")
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {bit}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{bit}")
+            for bit in range(64)
+        ]
+    )
+    bits = F.array(
+        *[F.when(F.col(f"s{bit}") > 0, 1).otherwise(0) for bit in range(64)]
+    )
+    fp = bit_sums.select("doc_id", bits.alias("bits")).select(
+        "doc_id",
+        "bits",
+        F.expr(
+            f"transform(sequence(0, {num_blocks - 1}), blk -> "
+            f"  aggregate(sequence(0, {bits_per_block - 1}), CAST(0 AS BIGINT), "
+            f"    (acc, i) -> acc + element_at(bits, blk * {bits_per_block} + i + 1) "
+            f"                      * shiftleft(CAST(1 AS BIGINT), i)))"
+        ).alias("blocks"),
+    )
 
     buckets = fp.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"blk{i}") for i in range(num_blocks)])).alias(
-            "block_id", "block_value"
-        ),
-        *[F.col(f"b{i}") for i in range(64)],
+        "doc_id", "bits", F.posexplode("blocks").alias("block_id", "block_value")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    hamming = sum(
-        (F.col(f"a.b{i}") != F.col(f"b.b{i}")).cast("int") for i in range(64)
+    hamming = F.expr(
+        "aggregate(zip_with(a.bits, b.bits, (x, y) -> IF(x = y, 0, 1)), 0, (acc, d) -> acc + d)"
     )
     return (
         a.join(

@@ -96,37 +96,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 near-dup pairs: 3-word-shingle Jaccard >= 0.5 within
     (lang, length-bucket) blocks.
 
-    Blocking bounds the candidate set — the join key (lang, len_bucket)
-    shuffles both sides to the same partitions, so no cross join ever
-    materializes.  Recall loss at bucket boundaries is identical in the
-    oracle by construction.  At 100 TB the blocking key becomes MinHash
-    band buckets (see dedup_minhash_lsh) — same join shape.
+    Blocking bounds the candidate set, and the implementation
+    (operators.dedup.ngram_jaccard_pairs) is an inverted-index plan:
+    explode shingles → equi-join on (block, shingle) → |A∩B| as a
+    count — no per-pair array ops, no cross join anywhere.  Recall
+    loss at bucket boundaries is identical in the oracle by
+    construction.  At 100 TB the blocking key becomes MinHash band
+    buckets (see dedup_minhash_lsh) — same join shape.
     """
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    base = docs.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / F.lit(50)).cast("long").alias("len_bucket"),
-        word_shingles(toks, 3).alias("sh"),
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
     )
-    a, b = base.alias("a"), base.alias("b")
-    sim = jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(sim >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.round(sim, 4).alias("jaccard_sim"),
-        )
-        .orderBy("doc_id_a", "doc_id_b")
-    )
+    return ngram_jaccard_pairs(
+        docs, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
+    ).orderBy("doc_id_a", "doc_id_b")
 
 
 @register(
