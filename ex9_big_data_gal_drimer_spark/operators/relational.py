@@ -79,11 +79,13 @@ def others_bucket(
     value_col: str,
     n: int,
     others_label: str = "Others",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Top-n rows by value + one residual 'Others' row (reference
     main.py:174-179, the pie-chart prep) — single window pass +
-    re-aggregation instead of the reference's pandas concat."""
-    w = Window.orderBy(F.desc(value_col))
+    re-aggregation instead of the reference's pandas concat.
+    Pass tiebreak_cols for a deterministic cut at equal values."""
+    w = Window.orderBy(F.desc(value_col), *tiebreak_cols)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     return (
         ranked.withColumn(

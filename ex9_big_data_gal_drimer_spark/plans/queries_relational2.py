@@ -1,0 +1,168 @@
+"""Second tranche of relational coverage (SURVEY.md §2.6 O3/O4, §2.7
+U1, §2.8 date functions, §2.4 grouping-sets + approx variants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register_views, table
+from ..operators.relational import others_bucket
+from ..operators.sampling import seeded_sample_n
+from .registry import register
+
+
+@register(
+    "nation_orders_others_bucket",
+    oracle="""
+    WITH counts AS (
+        SELECT n.n_name AS nation, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), ranked AS (
+        SELECT nation, n_orders,
+               ROW_NUMBER() OVER (ORDER BY n_orders DESC, nation) AS rn
+        FROM counts
+    )
+    SELECT CASE WHEN rn <= 5 THEN nation ELSE 'Others' END AS nation,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM ranked
+    GROUP BY 1
+    ORDER BY n_orders DESC
+    """,
+)
+def nation_orders_others_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4/U1 (reference main.py:174-179): top-5 nations by order
+    count with everything else folded into one 'Others' row — the
+    reference's pandas concat done as a window + re-group (one pass,
+    no driver-side rows)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        others_bucket(counts, "nation", "n_orders", 5, tiebreak_cols=("nation",))
+        .withColumn("n_orders", F.col("n_orders").cast("long"))
+        .orderBy(F.desc("n_orders"))
+    )
+
+
+@register(
+    "union_high_value_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_sources FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+    )
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def union_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union surface: two qualifying customer sets concatenated
+    (unionByName ≡ UNION ALL) then counted — distinguishes the
+    bag-union from the set-union the INTERSECT/EXCEPT query covers."""
+    o = table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    urgent = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 300000)
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        big.unionByName(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "orders_date_parts",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year, order_quarter
+    """,
+)
+def orders_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (year/quarter) — additive temporal surface
+    (the reference has no date columns, SURVEY.md §2.8)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("order_year", "order_quarter")
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY status, priority
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql surface (the
+    engine's SQL entry point — same ANSI text runs on both engines)."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority
+        """
+    )
+
+
+@register("seeded_sample_orders")
+def seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 (reference main.py:257-258): seeded exact-n uniform sample.
+    Registered rows-only — RNGs differ across engines so no value
+    oracle exists (SURVEY.md §7 risk register); determinism and
+    quota are pinned by tests/test_pipeline.py."""
+    return seeded_sample_n(table(spark, sf_dir, "orders"), 500, seed=42)
+
+
+@register("approx_distinct_scale_variant")
+def approx_distinct_scale_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's 100 TB variant: approx_count_distinct (HLL++) next to the
+    exact count — rows-only (HLL sketches are engine-specific).  At
+    scale the approx form replaces the exact Expand-based plan wherever
+    ±2% error is acceptable."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
