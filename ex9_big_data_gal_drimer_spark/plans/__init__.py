@@ -5,6 +5,7 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 from . import queries_parity  # noqa: F401,E402
 from . import queries_relational  # noqa: F401,E402
 from . import queries_relational2  # noqa: F401,E402
+from . import queries_relational3  # noqa: F401,E402
 from . import queries_events  # noqa: F401,E402
 from . import queries_llm  # noqa: F401,E402
 from . import queries_llm_scale  # noqa: F401,E402

@@ -1,0 +1,207 @@
+"""Third relational tranche: multiset ops, exact percentiles, pivot,
+edit-distance near-dup, and dedup application (SURVEY.md §2.7/§2.4,
+§2.11 X1/X2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import register
+
+
+@register(
+    "multiset_ops_lineitem",
+    oracle="""
+    WITH ship AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'),
+         ret  AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT l_orderkey, COUNT(*) AS multiplicity FROM (
+        SELECT * FROM ship INTERSECT ALL SELECT * FROM ret
+    )
+    GROUP BY l_orderkey
+    ORDER BY multiplicity DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def multiset_ops_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — intersectAll keeps multiplicity,
+    unlike the set-ops query's distinct forms)."""
+    li = table(spark, sf_dir, "lineitem")
+    ship = li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ship.intersectAll(ret)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy(F.desc("multiplicity"), "l_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`).  At 100 TB switch to `approx_percentile` —
+    exact percentile is a sort-heavy aggregate; the approx form is a
+    fixed-size sketch."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
+           CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high,
+           CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS medium,
+           CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS not_specified,
+           CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts, status rows × priority columns.
+    Explicit value list keeps the pivot single-pass (no extra distinct
+    scan) and the output schema static — required at scale."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+        .na.fill(0)
+        .select(
+            "status",
+            F.col("1-URGENT").alias("urgent"),
+            F.col("2-HIGH").alias("high"),
+            F.col("3-MEDIUM").alias("medium"),
+            F.col("4-NOT SPECIFIED").alias("not_specified"),
+            F.col("5-LOW").alias("low"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "levenshtein_similar_parts",
+    oracle="""
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ORDER BY edit_distance, partkey_a, partkey_b
+    LIMIT 50
+    """,
+)
+def levenshtein_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 edit-distance near-dup (SURVEY.md §2.11): brand-blocked part
+    name pairs within levenshtein 8.  Blocking bounds the quadratic
+    term; at corpus scale the same threshold runs after MinHash
+    candidate generation instead of exhaustive blocks."""
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = part.alias("a"), part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 8)
+        .orderBy("edit_distance", "partkey_a", "partkey_b")
+        .limit(50)
+    )
+
+
+@register(
+    "dedup_apply_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               string_split(LOWER(text), ' ') AS t
+        FROM documents
+    ), shingled AS (
+        SELECT doc_id, lang, len_bucket,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                        for i in range(1, len(t) - 1)])
+                    ELSE [list_aggr(t, 'string_agg', ' ')]
+               END AS sh
+        FROM toks
+    ), dup_pairs AS (
+        SELECT b.doc_id AS drop_id
+        FROM shingled a
+        JOIN shingled b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.5
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars_kept
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dup_pairs p WHERE p.drop_id = d.doc_id)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def dedup_apply_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 applied end-to-end: documents with greedy near-dup removal
+    (drop every doc that appears as the higher-id side of a ≥0.5
+    Jaccard pair) → surviving corpus stats per language.  The drop set
+    comes from the inverted-index pair operator; removal is a
+    left-anti join — the standard keep/drop shape of a pre-training
+    dedup pass."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs.withColumn("len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")),
+        block_cols=("lang", "len_bucket"),
+        shingle_k=3,
+        threshold=0.5,
+    )
+    drops = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("total_chars_kept"),
+        )
+        .orderBy("lang")
+    )
