@@ -124,23 +124,35 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def levenshtein_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 edit-distance near-dup (SURVEY.md §2.11): brand-blocked part
     name pairs within levenshtein 8.  Blocking bounds the quadratic
-    term; at corpus scale the same threshold runs after MinHash
+    term; two result-preserving prunes keep the per-pair cost down:
+    the length-difference guard (|len a - len b| <= k is implied by
+    distance <= k) skips the DP entirely for most pairs, and the
+    bounded threshold form runs O(n*k) with early exit instead of
+    O(n*m).  At corpus scale the same verify runs after MinHash
     candidate generation instead of exhaustive blocks."""
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = part.alias("a"), part.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # single-file source → one input partition; spread the probe side
+    # so the pair evaluation parallelizes (the build side broadcasts)
+    par = spark.sparkContext.defaultParallelism
+    a = part.repartition(par, F.col("p_partkey")).alias("a")
+    b = part.alias("b")
+    len_guard = (
+        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 8
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 8)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & len_guard,
         )
         .select(
             F.col("a.p_partkey").alias("partkey_a"),
             F.col("b.p_partkey").alias("partkey_b"),
             dist.alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= 8)
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 8))
         .orderBy("edit_distance", "partkey_a", "partkey_b")
         .limit(50)
     )

@@ -39,6 +39,10 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the advisory size rather than maximizing parallelism:
+    # avoids tiny-partition task storms (recommended on busy clusters;
+    # also shaves scheduling overhead on small local runs).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
 }
 
 
