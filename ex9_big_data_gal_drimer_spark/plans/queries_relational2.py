@@ -159,10 +159,17 @@ def approx_distinct_scale_variant(spark: SparkSession, sf_dir: str) -> DataFrame
     """A1's 100 TB variant: approx_count_distinct (HLL++) next to the
     exact count — rows-only (HLL sketches are engine-specific).  At
     scale the approx form replaces the exact Expand-based plan wherever
-    ±2% error is acceptable."""
+    ±2% error is acceptable.
+
+    The exact and approx aggregates run as separate one-row jobs
+    joined at the end: combining an exact multi-DISTINCT with plain
+    aggregates in one pass makes Catalyst's Expand rewrite multiply
+    every input row through the HLL updates too (measured 2-3× slower
+    than the two-pass form)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    approx = li.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
+    return exact.crossJoin(F.broadcast(approx))
