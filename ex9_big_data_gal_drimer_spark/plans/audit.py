@@ -1,0 +1,68 @@
+"""Physical-plan auditing (SURVEY.md §4's ".explain and iterate").
+
+Utilities to assert plan properties instead of eyeballing explain
+output: exchange (shuffle) counts, cartesian products, scan-level
+filter pushdown and column pruning.  Used by tests/test_plan_audit.py
+to pin the properties the 100 TB design depends on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """# of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = executed_plan(df)
+    return sum(
+        line.count("Exchange hashpartitioning")
+        + line.count("Exchange rangepartitioning")
+        + line.count("Exchange SinglePartition")
+        for line in plan.splitlines()
+    )
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    plan = executed_plan(df)
+    return "CartesianProduct" in plan
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema lines of every file scan — column-pruning evidence."""
+    return [
+        line.split("ReadSchema:")[1].strip()
+        for line in formatted_plan(df).splitlines()
+        if "ReadSchema:" in line
+    ]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lines of every file scan."""
+    return [
+        line.split("PushedFilters:")[1].strip()
+        for line in formatted_plan(df).splitlines()
+        if "PushedFilters:" in line
+    ]
+
+
+def audit_registry(spark, sf_dir: str, queries: dict) -> dict[str, dict]:
+    """Run the static audit over every registered query."""
+    out = {}
+    for name, fn in queries.items():
+        df = fn(spark, sf_dir)
+        out[name] = {
+            "exchanges": count_exchanges(df),
+            "cartesian": has_cartesian(df),
+        }
+    return out

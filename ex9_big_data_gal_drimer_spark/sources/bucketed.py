@@ -1,0 +1,60 @@
+"""Bucketed-table ingestion for co-located joins (SURVEY.md §4).
+
+At 100 TB the orders⋈customer / lineitem⋈orders shuffles dominate
+query cost.  Writing both sides bucketed on the join key
+(`bucketBy(n, key).sortBy(key)`) lets Spark plan a sort-merge join
+with NO exchange on either side — the shuffle is paid once at ingest
+and amortized over every subsequent join.
+
+Bucket-count guidance: buckets ≈ table_size / target_partition_size
+(128-256 MB); both sides of a co-located join must share the bucket
+count (or one must divide the other, with
+spark.sql.bucketing.coalesceBucketsInJoin.enabled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+#: Star-schema bucketing spec: fact/dim tables that join on a key.
+BUCKET_SPEC: dict[str, str] = {
+    "orders": "o_custkey",
+    "customer": "c_custkey",
+}
+
+
+def ingest_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    num_buckets: int = 8,
+    spec: dict[str, str] | None = None,
+    database: str | None = None,
+) -> list[str]:
+    """Write tables as bucketed+sorted managed tables; returns names.
+
+    Tables land in the session warehouse as `{name}_bucketed`.
+    """
+    created = []
+    for name, key in (spec or BUCKET_SPEC).items():
+        table_name = f"{name}_bucketed"
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(num_buckets, key)
+            .sortBy(key)
+            .saveAsTable(table_name)
+        )
+        created.append(table_name)
+    return created
+
+
+def bucketed_join(spark: SparkSession) -> DataFrame:
+    """orders⋈customer over the bucketed tables — shuffle-free when
+    both sides share the bucket layout (verify with
+    plans.audit.count_exchanges: 0 on the join inputs)."""
+    orders = spark.table("orders_bucketed")
+    customer = spark.table("customer_bucketed")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey)

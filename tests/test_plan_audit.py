@@ -1,0 +1,77 @@
+"""Physical-plan property tests — the scale guarantees, pinned.
+
+These don't run the queries; they assert the PLANS have the shape the
+100 TB design requires: no cartesian products anywhere, pruned scans,
+pushed filters, shuffle-free bucketed joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex9_big_data_gal_drimer_spark.plans import QUERIES
+from ex9_big_data_gal_drimer_spark.plans.audit import (
+    count_exchanges,
+    has_cartesian,
+    pushed_filters,
+    scan_read_schemas,
+)
+from ex9_big_data_gal_drimer_spark.sources.bucketed import (
+    bucketed_join,
+    ingest_bucketed,
+)
+
+from conftest import SF_DIR
+
+#: Queries whose tiny broadcast-total / query-side cross joins are
+#: intentional (broadcast nested-loop over ≤1-row / ≤10-row sides,
+#: never a shuffled cartesian).
+BROADCAST_CROSS_OK = {"knn_bruteforce_cosine", "approx_distinct_scale_variant"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_products(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert not has_cartesian(df), f"{name} plans a CartesianProduct"
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["q1_nation_order_stats"](spark, SF_DIR)
+    schemas = scan_read_schemas(df)
+    assert schemas, "expected file scans"
+    # orders scan must NOT read the full 6-column table
+    orders_scans = [s for s in schemas if "o_orderkey" in s]
+    assert orders_scans and all("o_orderpriority" not in s for s in orders_scans), (
+        f"orders scan reads unused columns: {orders_scans}"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), f"no shipdate pushdown: {pushed}"
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    ingest_bucketed(spark, SF_DIR, num_buckets=4)
+    try:
+        joined = bucketed_join(spark)
+        assert joined.count() > 0
+        n = count_exchanges(joined)
+        assert n == 0, f"bucketed join still shuffles ({n} exchanges)"
+        # contrast: the same join over plain parquet shuffles
+        from ex9_big_data_gal_drimer_spark.catalog import table
+
+        o, c = table(spark, SF_DIR, "orders"), table(spark, SF_DIR, "customer")
+        # disable auto-broadcast so the contrast join can't cheat
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plain = o.join(c, o.o_custkey == c.c_custkey)
+            assert count_exchanges(plain) >= 2, "expected shuffles on plain join"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in ("orders_bucketed", "customer_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
