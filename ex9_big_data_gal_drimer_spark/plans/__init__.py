@@ -11,3 +11,4 @@ from . import queries_llm  # noqa: F401,E402
 from . import queries_llm_scale  # noqa: F401,E402
 from . import queries_text2  # noqa: F401,E402
 from . import queries_llm2  # noqa: F401,E402
+from . import queries_asof  # noqa: F401,E402
