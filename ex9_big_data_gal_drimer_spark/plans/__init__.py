@@ -12,3 +12,4 @@ from . import queries_llm_scale  # noqa: F401,E402
 from . import queries_text2  # noqa: F401,E402
 from . import queries_llm2  # noqa: F401,E402
 from . import queries_asof  # noqa: F401,E402
+from . import queries_range_rollup  # noqa: F401,E402
