@@ -1,0 +1,126 @@
+"""Function-surface tranche: typed JSON parsing, array aggregation,
+analytic window functions (SURVEY.md §2.5/§2.8 additive surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from .registry import register
+
+
+@register(
+    "from_json_typed",
+    oracle="""
+    WITH parsed AS (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+        FROM events
+        WHERE json_valid(props)
+    )
+    SELECT k // 25 AS k_quartile,
+           COUNT(*) AS n_events,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           ROUND(SUM(value), 2) AS total_value
+    FROM parsed
+    GROUP BY 1
+    ORDER BY k_quartile
+    """,
+)
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: schema-full JSON parsing (`from_json` with a StructType —
+    the typed path, vs `get_json_object`'s per-field string
+    extraction in json_extract_events).  Malformed JSON yields NULL
+    structs, filtered like the oracle's json_valid guard."""
+    events = table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    parsed = events.select(
+        F.from_json(F.col("props"), schema).alias("p"), "value"
+    ).filter(F.col("p").isNotNull())
+    return (
+        parsed.select((F.col("p.k") / 25).cast("long").alias("k_quartile"), "value", "p.k")
+        .groupBy("k_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_quartile")
+    )
+
+
+@register(
+    "array_agg_segments",
+    oracle="""
+    SELECT n.n_name AS nation,
+           array_agg(DISTINCT c.c_mktsegment ORDER BY c.c_mktsegment) AS segments,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering: the distinct
+    market segments present per nation as a sorted array
+    (collect_set + sort_array ≡ array_agg(DISTINCT ... ORDER BY))."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "monthly_revenue_momentum",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue - LAG(revenue) OVER w, 2) AS delta_vs_prev,
+           ROUND(LEAD(revenue) OVER w - revenue, 2) AS delta_to_next,
+           NTILE(4) OVER (ORDER BY revenue) AS revenue_quartile
+    FROM monthly
+    WINDOW w AS (ORDER BY month)
+    ORDER BY month
+    """,
+)
+def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond rank/first_value (W1/W2): LAG/LEAD
+    deltas and NTILE quartiles over the monthly revenue series.  The
+    unpartitioned windows run on post-aggregate month rows (≤ #months),
+    same safety argument as q4."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+                "delta_vs_prev"
+            ),
+            F.round(F.lead("revenue").over(w) - F.col("revenue"), 2).alias(
+                "delta_to_next"
+            ),
+            F.ntile(4).over(Window.orderBy("revenue")).alias("revenue_quartile"),
+        )
+        .orderBy("month")
+    )
