@@ -15,3 +15,4 @@ from . import queries_asof  # noqa: F401,E402
 from . import queries_range_rollup  # noqa: F401,E402
 from . import queries_graph  # noqa: F401,E402
 from . import queries_functions  # noqa: F401,E402
+from . import queries_stats  # noqa: F401,E402

@@ -53,6 +53,22 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any("l_shipdate" in p for p in pushed), f"no shipdate pushdown: {pushed}"
 
 
+def test_partition_pruning(spark, tmp_path):
+    """Partitioned-parquet writes enable partition pruning: a filter on
+    the partition column reads only matching directories (SURVEY.md §4
+    'partition pruning ... free if declarative')."""
+    from ex9_big_data_gal_drimer_spark.catalog import table
+    from ex9_big_data_gal_drimer_spark.plans.audit import formatted_plan
+
+    out = str(tmp_path / "orders_part")
+    table(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("o_orderstatus" in l for l in pf), f"no partition pruning: {pf}"
+    assert df.count() > 0
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     ingest_bucketed(spark, SF_DIR, num_buckets=4)
     try:
