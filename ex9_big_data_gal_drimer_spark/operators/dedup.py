@@ -239,6 +239,12 @@ def simhash_pairs(
         ).alias("blocks"),
     )
 
+    # Cache the per-doc fingerprints: the candidate self-join otherwise
+    # re-runs the explode + 64-sum aggregation for each side (observed:
+    # 6 HashAggregates in the plan, no exchange reuse).  The cached set
+    # is one row per doc (bits + blocks arrays) — tiny relative to the
+    # corpus; Spark's LRU evicts it under pressure.
+    fp = fp.cache()
     buckets = fp.select(
         "doc_id", "bits", F.posexplode("blocks").alias("block_id", "block_value")
     )
