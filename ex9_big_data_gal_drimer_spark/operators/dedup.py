@@ -155,7 +155,8 @@ def minhash_lsh_pairs(
                 minhash_signature(F.col("sh"), num_hashes), num_bands, rows_per_band
             )
         ).alias("band_id", "band_hash"),
-    )
+    ).cache()  # both candidate-join sides read this; uncached, each
+    #            side re-derives shingles + 16 minhashes per doc
 
     a, b = sigs.alias("a"), sigs.alias("b")
     candidates = (
