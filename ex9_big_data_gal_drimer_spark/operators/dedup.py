@@ -90,7 +90,6 @@ def ngram_jaccard_pairs(
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.count(F.lit(1)).cast("double")
     union = (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")).cast("double")
     sim = F.col("n_inter").cast("double") / union
     return (

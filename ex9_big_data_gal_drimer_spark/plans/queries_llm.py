@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import cosine_similarity, jaccard, tokens, word_shingles
+from ..functions import cosine_similarity, tokens
 from .registry import register
 
 
