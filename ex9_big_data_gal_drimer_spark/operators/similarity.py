@@ -152,3 +152,64 @@ def lsh_cosine_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def vectorized_topk(
+    corpus: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Arrow-vectorized brute-force cosine top-k: numpy matmul inside
+    mapInPandas.
+
+    The JVM-expression form (brute_force_topk) folds the dot product
+    element-by-element per pair; for wide embeddings the BLAS matmul
+    over Arrow batches is the faster path — this is the documented
+    "Python unavoidable → Arrow-batched, never per-row" pattern
+    (row-at-a-time UDFs are 10-100× slower).
+
+    `queries_pdf` is a small pandas frame (query_id, qv) shipped in
+    the task closure — queries are few, the corpus is the big side and
+    streams through in batches.  Per-batch local top-k keeps the
+    shuffle tiny; the final window picks the global top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pdf["query_id"].to_numpy()
+    q_mat = np.stack(queries_pdf["qv"].to_numpy())  # (Q, D)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy())  # (N, D)
+            sims = (mat @ q_mat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * q_norm[None, :]
+            )
+            sims = np.round(sims, sim_scale)
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cids, csims = ids[mask], col[mask]
+                if len(cids) > k:
+                    # local top-k per batch bounds the shuffle; exact
+                    # lexical order (sim desc, id asc) so boundary ties
+                    # resolve identically to the global window
+                    keep = np.lexsort((cids, -csims))[:k]
+                    cids, csims = cids[keep], csims[keep]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cids, "sim": csims}
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
