@@ -141,7 +141,7 @@ def q5_five_star_attractions(hotels: DataFrame) -> DataFrame:
             F.sum("num_attractions").cast("long").alias("total_attractions"),
             F.round(F.avg("num_attractions"), 2).alias("avg_attractions_per_hotel"),
         )
-        .orderBy(F.desc("num_five_star_hotels"), "countyName")
+        .orderBy(F.desc("total_attractions"), "countyName")
         .limit(10)
     )
 

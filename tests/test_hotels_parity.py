@@ -149,7 +149,7 @@ HOTEL_ORACLE_SQL = {
                CAST(SUM(num_attractions) AS BIGINT) AS total_attractions,
                ROUND(AVG(num_attractions), 2) AS avg_attractions_per_hotel
         FROM base GROUP BY countyName
-        ORDER BY num_five_star_hotels DESC, countyName LIMIT 10
+        ORDER BY total_attractions DESC, countyName LIMIT 10
     """,
     "hotels_q6": """
         WITH county AS (
