@@ -77,6 +77,36 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: (applicationId, sf_dir, name) triples already cached via cache_tables.
+_CACHED: set[tuple[str, str, str]] = set()
+
+
+def cache_tables(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Eagerly cache the testdata tables for suite-style workloads.
+
+    One ``.cache()`` + materialize per table; every later
+    ``load_table`` of the same path produces a plan whose scan subtree
+    matches the cached one, so Catalyst's CacheManager substitutes the
+    in-memory columnar relation automatically — the 56-query bench
+    suite then reads each parquet file exactly once instead of once
+    per query per repeat.
+
+    Scale note: this is the bench/pipeline amortization path for
+    results that fit executor storage.  At 100 TB you would NOT cache
+    the fact tables — leave this uncalled and every query reads the
+    (bucketed, pruned) parquet directly; Spark's LRU + MEMORY_AND_DISK
+    keep it safe if called anyway.
+    """
+    app = spark.sparkContext.applicationId
+    for name in tables:
+        key = (app, sf_dir, name)
+        if key in _CACHED:
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.cache().count()
+        _CACHED.add(key)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in tables:

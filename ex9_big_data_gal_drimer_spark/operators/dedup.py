@@ -81,9 +81,14 @@ def ngram_jaccard_pairs(
         )
         .select("doc_id", *block_cols, F.size("sh").alias("n_sh"), "sh")
     )
+    # Cache the posting list: both sides of the self-join read it, and
+    # without the cache each side re-runs the tokenize/shingle/explode
+    # pipeline (same pattern as the MinHash/SimHash signature caches).
+    # CacheManager keys on the logical plan, so repeated calls with the
+    # same source reuse one entry rather than accumulating.
     posting = base.select(
         "doc_id", *block_cols, "n_sh", F.explode("sh").alias("shingle")
-    )
+    ).cache()
     a, b = posting.alias("a"), posting.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.doc_id") < F.col("b.doc_id")

@@ -62,30 +62,32 @@ def _planes_df(spark, dim: int, num_tables: int, hash_bits: int, seed: int) -> D
     return spark.createDataFrame(rows, "table_id INT, bit INT, plane ARRAY<DOUBLE>")
 
 
-def _bucketed(df: DataFrame, planes: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, vec) → (id, vec, table_id, bucket): sign-bit LSH bucket per
+def _bucket_ids(df: DataFrame, planes: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) → (id, table_id, bucket): sign-bit LSH bucket per
     table.  Broadcast-join with the planes table (num_tables×hash_bits
-    rows), then pack sign bits per (id, table) in one aggregation."""
+    rows), then pack sign bits per (id, table) in one aggregation.
+
+    The vector payload is deliberately NOT carried past the dot
+    product: the plane join fans each row out ×(tables·bits), so
+    keeping the vector there multiplies its bytes through the groupBy
+    shuffle (observed 65 MB shuffled for a 1 MB corpus).  Only
+    (id, table_id, bit_value) longs transit the exchange; callers
+    re-fetch vectors by equi-join for the (small) candidate set.
+    The repartition fans a few-file parquet scan out across cores
+    before the interpreted-HOF dot products."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     signs = (
-        df.crossJoin(F.broadcast(planes))
+        df.repartition(par, F.col(id_col))
+        .crossJoin(F.broadcast(planes))
         .select(
             id_col,
-            vec_col,
             "table_id",
             "bit",
             (dot(F.col(vec_col), F.col("plane")) > 0).cast("long").alias("sign"),
         )
-        .select(
-            id_col,
-            vec_col,
-            "table_id",
-            F.expr("shiftleft(sign, bit)").alias("bit_value"),
-        )
+        .select(id_col, "table_id", F.expr("shiftleft(sign, bit)").alias("bit_value"))
     )
-    return signs.groupBy(id_col, "table_id").agg(
-        F.first(vec_col).alias(vec_col),
-        F.sum("bit_value").alias("bucket"),
-    )
+    return signs.groupBy(id_col, "table_id").agg(F.sum("bit_value").alias("bucket"))
 
 
 def lsh_cosine_topk(
@@ -115,8 +117,8 @@ def lsh_cosine_topk(
     spark = corpus.sparkSession
     planes = _planes_df(spark, dim, num_tables, hash_bits, seed)
 
-    cb = _bucketed(corpus, planes, id_col, vec_col)
-    qb = _bucketed(
+    cb = _bucket_ids(corpus, planes, id_col, vec_col)
+    qb = _bucket_ids(
         queries.select(
             F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
         ),
@@ -125,20 +127,30 @@ def lsh_cosine_topk(
         "__qv",
     )
 
-    candidates = (
+    # Candidate ids only — vectors are re-attached afterwards, so the
+    # bucket join and the dedup shuffle move nothing but ids.
+    cand_ids = (
         cb.join(
             F.broadcast(qb),
             (cb.table_id == qb.table_id)
             & (cb.bucket == qb.bucket)
             & (F.col(id_col) != F.col("__qid")),
         )
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__qv").alias(query_vec_col),
-            id_col,
-            vec_col,
-        )
+        .select(F.col("__qid").alias(query_id_col), id_col)
         .dropDuplicates([query_id_col, id_col])
+    )
+
+    # Re-fetch vectors: corpus side by equi-join (one shuffle of the
+    # candidate-hit subset at scale), query side broadcast (tiny).
+    candidates = cand_ids.join(
+        corpus.select(id_col, vec_col), id_col
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col), F.col(query_vec_col)
+            )
+        ),
+        query_id_col,
     )
 
     sim = F.round(

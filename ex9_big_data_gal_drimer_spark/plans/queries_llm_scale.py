@@ -18,6 +18,12 @@ from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
 from ..operators.similarity import lsh_cosine_topk
 from .registry import register
 
+#: Embedding width of the testdata `embeddings.embedding` column
+#: (TESTDATA.md; fixed across scale factors).  A constant, not a probe:
+#: running `.first()` here would launch a Spark job during query
+#: *construction* — in a real deployment this comes from table metadata.
+EMBEDDING_DIM = 64
+
 
 @register("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,5 +56,6 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    dim = len(emb.select("v").first()["v"])
-    return lsh_cosine_topk(emb, queries, dim=dim, k=5).orderBy("query_id", "rnk")
+    return lsh_cosine_topk(emb, queries, dim=EMBEDDING_DIM, k=5).orderBy(
+        "query_id", "rnk"
+    )

@@ -62,9 +62,16 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99_price"),
+            # one percentile buffer for all three points — three scalar
+            # percentile() aggs would sort/buffer the column thrice
+            F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("__p"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("__p")[0], 2).alias("median_price"),
+            F.round(F.col("__p")[1], 2).alias("p90_price"),
+            F.round(F.col("__p")[2], 2).alias("p99_price"),
         )
         .orderBy("o_orderpriority")
     )
