@@ -65,10 +65,23 @@ def normalize_nano_timestamps(
     return df
 
 
+#: Inferred parquet schemas, memoized per (app, sf_dir, table) so only
+#: the FIRST load of a table pays the footer-inference job — with an
+#: explicit schema, plan construction launches no Spark job at all
+#: (pinned by test_plan_audit.test_no_action_during_query_construction).
+_SCHEMAS: dict[tuple[str, str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame, normalizing timestamps."""
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    schema = _SCHEMAS.get(key)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(path)
+    if schema is None:
+        _SCHEMAS[key] = df.schema
     return normalize_nano_timestamps(df, _NANO_TS_COLS.get(name, ()))
 
 

@@ -56,6 +56,42 @@ def pushed_filters(df: DataFrame) -> list[str]:
     ]
 
 
+def _subtree_has_aggregate(node) -> bool:
+    if "Aggregate" in node.getClass().getSimpleName():
+        return True
+    children = node.children()
+    return any(
+        _subtree_has_aggregate(children.apply(i)) for i in range(children.size())
+    )
+
+
+def unpartitioned_window_violations(df: DataFrame) -> list[str]:
+    """Unpartitioned Window nodes NOT sitting above an Aggregate.
+
+    An unpartitioned window moves all data to one partition — safe
+    only when its input is post-aggregate (≤ #groups rows).  SURVEY.md
+    §4 promises this is asserted, not eyeballed; returns the offending
+    nodes' simpleStrings (empty list = plan is safe).  Walks the
+    *optimized logical* plan so AQE's physical wrappers don't hide
+    subtrees.
+    """
+    violations: list[str] = []
+
+    def walk(node) -> None:
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _subtree_has_aggregate(node)
+        ):
+            violations.append(node.simpleString(120))
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return violations
+
+
 def audit_registry(spark, sf_dir: str, queries: dict) -> dict[str, dict]:
     """Run the static audit over every registered query."""
     out = {}

@@ -16,6 +16,7 @@ from ex9_big_data_gal_drimer_spark.plans.audit import (
     has_cartesian,
     pushed_filters,
     scan_read_schemas,
+    unpartitioned_window_violations,
 )
 from ex9_big_data_gal_drimer_spark.sources.bucketed import (
     bucketed_join,
@@ -34,6 +35,40 @@ BROADCAST_CROSS_OK = {"knn_bruteforce_cosine", "approx_distinct_scale_variant"}
 def test_no_cartesian_products(name, spark):
     df = QUERIES[name](spark, SF_DIR)
     assert not has_cartesian(df), f"{name} plans a CartesianProduct"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_unpartitioned_windows_only_above_aggregates(name, spark):
+    """SURVEY.md §4: a Window without partitionBy funnels everything to
+    one partition — allowed only over post-aggregate (≤ #groups) data."""
+    df = QUERIES[name](spark, SF_DIR)
+    bad = unpartitioned_window_violations(df)
+    assert not bad, f"{name} has unpartitioned window over raw data: {bad}"
+
+
+#: Iterative algorithms whose fixpoint loop genuinely must run actions
+#: at build time (VERDICT r1 / driver contract: "iterative algorithms"
+#: are the acknowledged exception to lazy construction).
+ITERATIVE_OK = {"dedup_connected_components"}
+
+
+def test_no_action_during_query_construction(spark):
+    """Building a registered query must never launch a Spark job
+    (VERDICT r1: knn_lsh_cosine probed vector width with .first() at
+    plan-build time).  Dimensions/constants come from table contracts,
+    not runtime probes.  First build of each query warms the catalog's
+    per-table schema memo (one parquet-footer job per table, once per
+    session); after that, construction is fully lazy."""
+    for name, fn in sorted(QUERIES.items()):
+        fn(spark, SF_DIR)  # warm schema memo + any per-query constants
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or ())
+    for name, fn in sorted(QUERIES.items()):
+        if name in ITERATIVE_OK:
+            continue
+        fn(spark, SF_DIR)
+        after = set(tracker.getJobIdsForGroup(None) or ())
+        assert after == before, f"{name} launched Spark job(s) during construction"
 
 
 def test_column_pruning_reaches_scan(spark):
