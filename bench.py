@@ -86,6 +86,11 @@ def main() -> int:
     cache_tables(spark, sf_dir)
     setup_seconds = round(time.perf_counter() - t0, 3)
 
+    # Iterative operators materialize their fixpoint loop during plan
+    # CONSTRUCTION (actions at build time); excluding construction from
+    # their timing would hide the real work.
+    iterative = {"dedup_connected_components"}
+
     times: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         # Each timed run REBUILDS the DataFrame so the physical DAG is
@@ -98,9 +103,13 @@ def main() -> int:
         fn(spark, sf_dir).collect()  # untimed warmup (codegen, cache fill)
         samples = []
         for _ in range(repeats):
-            df = fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.collect()
+            if name in iterative:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+            else:
+                df = fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.collect()
             samples.append(time.perf_counter() - t0)
         times[name] = round(sum(samples) / len(samples), 3)
 
