@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 from ..catalog import table
@@ -33,13 +33,27 @@ from .registry import register
 def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: schema-full JSON parsing (`from_json` with a StructType —
     the typed path, vs `get_json_object`'s per-field string
-    extraction in json_extract_events).  Malformed JSON yields NULL
-    structs, filtered like the oracle's json_valid guard."""
+    extraction in json_extract_events).
+
+    Malformed-input guard: since Spark 3.0 `from_json` returns a
+    struct of NULL *fields* (not a NULL struct) for malformed input,
+    so `p IS NOT NULL` does NOT drop bad rows.  The exact equivalent
+    of the oracle's `json_valid(props)` is PERMISSIVE mode with a
+    corrupt-record column: malformed rows populate it, valid rows
+    leave it NULL.  NULL props are dropped explicitly on both sides
+    (DuckDB's `WHERE json_valid(NULL)` is NULL → filtered)."""
     events = table(spark, sf_dir, "events")
-    schema = StructType([StructField("k", LongType())])
+    schema = StructType(
+        [StructField("k", LongType()), StructField("_corrupt", StringType())]
+    )
     parsed = events.select(
-        F.from_json(F.col("props"), schema).alias("p"), "value"
-    ).filter(F.col("p").isNotNull())
+        F.from_json(
+            F.col("props"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+        "value",
+    ).filter(F.col("props").isNotNull() & F.col("p._corrupt").isNull())
     return (
         parsed.select((F.col("p.k") / 25).cast("long").alias("k_quartile"), "value", "p.k")
         .groupBy("k_quartile")
