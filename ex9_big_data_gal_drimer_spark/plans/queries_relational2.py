@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import register_views, table
 from ..operators.relational import others_bucket
-from ..operators.sampling import seeded_sample_n
+from ..operators.sampling import (
+    sample_by_fractions,
+    seeded_sample_n,
+    stratified_sample,
+)
 from .registry import register
 
 
@@ -147,11 +151,53 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("seeded_sample_orders")
 def seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 (reference main.py:257-258): seeded exact-n uniform sample.
-    Registered rows-only — RNGs differ across engines so no value
-    oracle exists (SURVEY.md §7 risk register); determinism and
-    quota are pinned by tests/test_pipeline.py."""
-    return seeded_sample_n(table(spark, sf_dir, "orders"), 500, seed=42)
+    """R1 (reference main.py:257-258): seeded exact-n uniform sample
+    of a QUERY RESULT — the reference's actual use (it samples each
+    query's ≤full result before persisting, never a raw fact table).
+    The global sort-by-rand therefore only ever sees post-aggregate
+    data (#days rows here); sampling a raw 100 TB fact table uses
+    stratified_sample_orders / sample_fractions_lineitem instead
+    (sampling.py scale note).  Rows-only: RNGs differ across engines;
+    determinism and quota are pinned by tests."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    return seeded_sample_n(daily, 500, seed=42)
+
+
+@register("stratified_sample_orders")
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 (reference main.py:259-262, dead code there — first-class
+    here): exact quota-per-stratum sample, 100 rows per order
+    priority.  One shuffle on the stratum key; each stratum's
+    rand-ordered row_number window runs inside its partition, so
+    strata parallelize.  Rows-only (seeded RNG); quota + determinism
+    pinned by tests/test_sampling_queries.py."""
+    return stratified_sample(
+        table(spark, sf_dir, "orders"), ["o_orderpriority"], 100, seed=42
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register("sample_fractions_lineitem")
+def sample_fractions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sampling default: fraction-per-stratum ``sampleBy``
+    — one map-side Bernoulli pass, NO shuffle, no sort, scales to any
+    input size.  Rows-only (count is binomial, not exact; seed makes
+    it deterministic per partition layout)."""
+    li = table(spark, sf_dir, "lineitem")
+    sampled = sample_by_fractions(
+        li, "l_returnflag", {"A": 0.01, "N": 0.01, "R": 0.01}, seed=42
+    )
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
 
 
 @register("approx_distinct_scale_variant")
