@@ -68,23 +68,126 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _be_long(col: F.Column, pos: int, nbytes: int) -> F.Column:
+    """Big-endian unsigned int from `nbytes` at 1-indexed byte `pos`
+    of a binary column — hex → base-16 conv, all JVM-side."""
+    return F.conv(F.hex(F.substring(col, pos, nbytes)), 16, 10).cast("long")
+
+
+def _sniff(payload: F.Column):
+    """(mime, width, height) column expressions from magic bytes.
+
+    PNG and GIF store dimensions at FIXED offsets (PNG IHDR: 4-byte
+    big-endian at 17/21; GIF logical screen: 2-byte little-endian at
+    7/9), so their headers parse with pure built-in expressions —
+    whole-stage codegen, no Python.  JPEG dimensions live in a
+    variable-position SOFn marker and need the Arrow scan
+    (:func:`attach_image_dims`)."""
+    is_png = F.substring(payload, 1, 8) == F.lit(_PNG_SIG)
+    is_gif = F.substring(payload, 1, 4) == F.lit(b"GIF8")
+    is_jpeg = F.substring(payload, 1, 3) == F.lit(b"\xff\xd8\xff")
+    mime = (
+        F.when(is_png, "image/png")
+        .when(is_gif, "image/gif")
+        .when(is_jpeg, "image/jpeg")
+        .otherwise("application/octet-stream")
+    )
+    png_ihdr = is_png & (F.substring(payload, 13, 4) == F.lit(b"IHDR"))
+    width = F.when(png_ihdr, _be_long(payload, 17, 4)).when(
+        is_gif, _be_long(payload, 8, 1) * 256 + _be_long(payload, 7, 1)
+    )
+    height = F.when(png_ihdr, _be_long(payload, 21, 4)).when(
+        is_gif, _be_long(payload, 10, 1) * 256 + _be_long(payload, 9, 1)
+    )
+    return mime, width, height
+
+
 def attach_media_meta(
     df: DataFrame,
     payload_col: str = "payload",
     modality: str = "image",
-    mime: str = "application/octet-stream",
+    mime: str | None = None,
 ) -> DataFrame:
     """Derive the metadata struct from a raw binary column (pure column
-    expressions — sha2 and length run JVM-side)."""
+    expressions — sha2, length and the PNG/GIF header parse all run
+    JVM-side).  ``mime=None`` sniffs it from the payload's magic
+    bytes; pass a literal to override.  JPEG width/height stay NULL
+    here — fill them with :func:`attach_image_dims` (Arrow pass)."""
+    payload = F.col(payload_col)
+    sniffed_mime, width, height = _sniff(payload)
     return df.withColumn(
         "meta",
         F.struct(
             F.lit(modality).alias("modality"),
-            F.lit(mime).alias("mime"),
-            F.lit(None).cast("long").alias("width"),
-            F.lit(None).cast("long").alias("height"),
+            (F.lit(mime) if mime is not None else sniffed_mime).alias("mime"),
+            width.alias("width"),
+            height.alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
-            F.sha2(F.col(payload_col), 256).alias("sha256"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def parse_image_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from PNG / GIF / JPEG header bytes, stdlib only.
+
+    JPEG walks the marker stream to the first SOFn frame header
+    (C0–CF minus the C4/C8/CC non-frame markers); PNG reads IHDR,
+    GIF the logical screen descriptor."""
+    b = bytes(b)
+    if b[:8] == _PNG_SIG and len(b) >= 24 and b[12:16] == b"IHDR":
+        return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    return None
+
+
+def attach_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Fill meta.width/height from the payload headers for ALL three
+    formats via one Arrow-batched pandas UDF (the JPEG marker scan is
+    not expressible as static column offsets).  Requires the ``meta``
+    struct from :func:`attach_media_meta`; JVM-parsed PNG/GIF values
+    are kept, the UDF only fills what is still NULL."""
+
+    @F.pandas_udf("width long, height long")
+    def dims(payload: pd.Series) -> pd.DataFrame:
+        parsed = [parse_image_dims(p) if p is not None else None for p in payload]
+        return pd.DataFrame(
+            {
+                "width": [p[0] if p else None for p in parsed],
+                "height": [p[1] if p else None for p in parsed],
+            }
+        )
+
+    d = dims(F.col(payload_col))
+    return df.withColumn(
+        "meta",
+        F.col("meta").withField(
+            "width", F.coalesce(F.col("meta.width"), d["width"])
+        ).withField(
+            "height", F.coalesce(F.col("meta.height"), d["height"])
         ),
     )
 
