@@ -176,3 +176,50 @@ def event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "n_users", "avg_value", "pct_of_all")
         .orderBy(F.desc("n_events"), "event_type")
     )
+
+
+@register(
+    "events_click_purchase_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts AS purchase_ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(FLOOR(MIN(epoch(p.purchase_ts - c.click_ts))) AS BIGINT)
+               AS min_delay_s,
+           ROUND(SUM(p.value), 2) AS total_purchase_value
+    FROM clicks c
+    JOIN purch p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    ORDER BY 1
+    """,
+)
+def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join
+    (streaming.windows.click_purchase_within): click→purchase pairs by
+    the same user within 10 minutes, aggregated per user.  In
+    streaming mode the identical expressions run as a watermarked
+    stream-stream join with bounded state; in batch they plan as an
+    equi-join on user with a range predicate — both sides shuffle on
+    user_id once, no cartesian anywhere."""
+    from ..streaming.windows import click_purchase_within
+
+    pairs = click_purchase_within(table(spark, sf_dir, "events"), bound="10 minutes")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.expr("timestampdiff(SECOND, click_ts, purchase_ts)")
+            ).alias("min_delay_s"),
+            F.round(F.sum("purchase_value"), 2).alias("total_purchase_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -39,23 +39,41 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def _update(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+def _make_update(ttl_ms: int | None):
+    """Build the state-update fn; with a TTL, idle keys' state is
+    dropped when the processing-time timeout fires (bounded state for
+    unbounded key spaces — without it, one (count,total) pair per
+    ever-seen user lives forever)."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # idle past TTL: evict; totals restart if the key returns
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return update
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(events: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming: per-user running totals with explicit state.  Batch
-    frames fall back to a plain aggregation (same output)."""
+    frames fall back to a plain aggregation (same output).
+
+    ``state_ttl_ms`` arms a processing-time timeout per key: users
+    idle longer than the TTL have their state evicted (the production
+    setting for unbounded key cardinality)."""
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
@@ -64,9 +82,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     return events.groupBy("user_id").applyInPandasWithState(
-        _update,
+        _make_update(state_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

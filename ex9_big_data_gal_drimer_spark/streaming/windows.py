@@ -103,6 +103,46 @@ def dedup_within_watermark(
     return events.dropDuplicates(keys)
 
 
+def click_purchase_within(
+    events: DataFrame,
+    bound: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every (click → purchase) pair by
+    the same user with the purchase inside ``bound`` after the click.
+
+    Streaming: both sides carry watermarks and the join condition has
+    the time bound Spark needs to size the join state — each side
+    keeps only ``watermark + bound`` of history, so state is bounded
+    regardless of stream length.  Batch: the identical expressions
+    plan as a plain range join, which keeps the batch form
+    DuckDB-oracle-checkable (events_click_purchase_join).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {bound}")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "pyspark.sql.streaming.StreamingQuery":

@@ -64,3 +64,47 @@ def test_streaming_dedup(spark, events_dir):
     got = _run_and_fetch(spark, dedup_within_watermark(stream), "t_dedup").count()
     batch = load_table(spark, SF_DIR, "events").dropDuplicates(["event_id"]).count()
     assert got == batch
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides, bounded
+    state) must emit exactly the batch range-join's pairs once the
+    availableNow source drains."""
+    from ex9_big_data_gal_drimer_spark.streaming.windows import (
+        click_purchase_within,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_and_fetch(
+        spark, click_purchase_within(stream), "t_ss_join", mode="append"
+    ).collect()
+    batch = click_purchase_within(load_table(spark, SF_DIR, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0
+
+
+def test_stateful_ttl_smoke(spark, events_dir):
+    """running_user_totals with a state TTL: the ProcessingTimeTimeout
+    wiring must run end-to-end and, within one availableNow pass (no
+    idle gaps), produce the same totals as the batch aggregation."""
+    from ex9_big_data_gal_drimer_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = run_to_memory_sink(
+        running_user_totals(stream, state_ttl_ms=60_000),
+        "t_ttl_totals",
+        output_mode="update",
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a key on every batch it appears in; the
+    # LAST emission per user is the running total
+    last: dict[int, tuple] = {}
+    for row in spark.sql("SELECT * FROM t_ttl_totals").collect():
+        last[row.user_id] = (row.n_events, row.total_value)
+    batch = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in running_user_totals(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert last == batch
