@@ -120,6 +120,22 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         _CACHED.add(key)
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Drop every cached plan in the session (table caches AND the
+    dedup/similarity operators' internal signature caches).
+
+    The operator caches are deduped by CacheManager per logical plan,
+    so within one input they never accumulate — but a long-lived
+    session running many sf_dirs (pipeline CLI, notebooks) holds one
+    entry per distinct input per cached operator (ADVICE r1).  Call
+    this when a batch of work completes; subsequent queries simply
+    recompute/refill."""
+    spark.catalog.clearCache()
+    app = spark.sparkContext.applicationId
+    for key in {k for k in _CACHED if k[0] == app}:
+        _CACHED.discard(key)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in tables:

@@ -31,16 +31,31 @@ def range_join_bucketed(
     bucket_width: float,
     how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to range rows with lo <= point < hi."""
+    """Join each point row to range rows with lo <= point < hi.
+
+    Inner only: the exact BETWEEN refinement is applied as a
+    post-join filter, which would silently drop the null-padded rows
+    an outer join exists to keep.  (An outer variant needs the BETWEEN
+    folded into the join condition itself — not implementable for the
+    bucketized shape without a second anti-join pass; raise rather
+    than return wrong rows.)"""
+    if how != "inner":
+        raise ValueError(
+            "range_join_bucketed supports how='inner' only: the exact-"
+            "BETWEEN post-filter drops outer joins' null-padded rows"
+        )
     bucketed_ranges = ranges.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bucket_width),
                 # hi is exclusive: a range ending exactly on a bucket
-                # boundary does not cover that bucket
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / bucket_width
+                # boundary does not cover that bucket; greatest() guards
+                # degenerate ranges (hi <= lo) from a descending
+                # sequence fanning out spurious bucket rows
+                F.greatest(
+                    F.floor(F.col(lo_col) / bucket_width),
+                    F.floor((F.col(hi_col) - F.lit(1e-9)) / bucket_width),
                 ),
             )
         ),

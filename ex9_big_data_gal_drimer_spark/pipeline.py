@@ -64,11 +64,21 @@ def run_pipeline(
     queries: Mapping[str, Callable[[SparkSession, str], DataFrame]],
     sf_dir: str,
 ) -> dict[str, tuple[str, str]]:
-    """Materialize every query; returns {name: (results, sample)}."""
-    return {
-        name: materialize_query(spark, name, fn(spark, sf_dir))
-        for name, fn in queries.items()
-    }
+    """Materialize every query; returns {name: (results, sample)}.
+
+    Releases all session caches afterwards: the dedup/similarity
+    operators cache their signature frames internally, and across a
+    long-lived session those would otherwise accumulate one entry per
+    distinct input (ADVICE r1)."""
+    from .catalog import release_caches
+
+    try:
+        return {
+            name: materialize_query(spark, name, fn(spark, sf_dir))
+            for name, fn in queries.items()
+        }
+    finally:
+        release_caches(spark)
 
 
 def export_samples_to_sqlite(
