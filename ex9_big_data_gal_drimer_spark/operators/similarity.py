@@ -225,3 +225,98 @@ def vectorized_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def _centroid_df(spark, dim: int, num_centroids: int, seed: int) -> DataFrame:
+    rng = random.Random(seed)
+    rows = [
+        (c, [rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for c in range(num_centroids)
+    ]
+    return spark.createDataFrame(rows, "centroid_id INT, cvec ARRAY<DOUBLE>")
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """IVF-bucketed approximate cosine top-k (the inverted-file ANN
+    pattern, complementing the hyperplane-LSH variant).
+
+    A seeded spherical quantizer (random gaussian centroids — k-means
+    with zero iterations, so centroid creation needs NO data action)
+    partitions the corpus into `num_centroids` inverted lists with one
+    broadcast argmax pass; each query probes its `nprobe` nearest
+    lists and exact-re-ranks only those lists' members.
+
+    Scale shape: centroid table is tiny (broadcast); corpus
+    assignment is map-side + one (id, centroid) shuffle of longs; the
+    candidate join is an equi-join on centroid_id.  Expected work per
+    query ≈ nprobe/num_centroids of the corpus — tune the ratio for
+    the recall/cost point.  Untrained random centroids on a weakly
+    clustered corpus (this testdata: true neighbors at cosine ~0.3)
+    need nprobe ≈ num_centroids/2 for ~0.6 recall; production swaps in
+    TRAINED (k-means) centroids — same plan, far better list purity —
+    and that is the first knob to turn before raising nprobe.
+    """
+    spark = corpus.sparkSession
+    cents = _centroid_df(spark, dim, num_centroids, seed)
+
+    def assign(df: DataFrame, idc: str, vecc: str, n_best: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            idc,
+            F.col("centroid_id"),
+            cosine_similarity(F.col(vecc), F.col("cvec")).alias("__csim"),
+        )
+        if n_best == 1:
+            return scored.groupBy(idc).agg(
+                F.max_by("centroid_id", "__csim").alias("centroid_id")
+            )
+        w = Window.partitionBy(idc).orderBy(F.desc("__csim"), "centroid_id")
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_best)
+            .select(idc, "centroid_id")
+        )
+
+    corpus_lists = assign(corpus, id_col, vec_col, 1)
+    query_probes = assign(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
+        ),
+        "__qid",
+        "__qv",
+        nprobe,
+    )
+
+    cand_ids = (
+        corpus_lists.join(F.broadcast(query_probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(F.col("__qid").alias(query_id_col), id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    candidates = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+    )
+
+    sim = F.round(
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)), sim_scale
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        candidates.select(
+            query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -59,3 +59,25 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, dim=EMBEDDING_DIM, k=5).orderBy(
         "query_id", "rnk"
     )
+
+
+@register("knn_ivf_cosine")
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: inverted-file (IVF) ANN — seeded spherical
+    quantizer partitions the corpus into centroid lists, queries probe
+    their nprobe nearest lists, exact re-rank inside probed lists
+    only.  Complements knn_lsh_cosine: IVF bounds work per query to
+    ~nprobe/num_centroids of the corpus and swaps to trained centroids
+    without a plan change.  Rows-only (seeded RNG); recall vs brute
+    force pinned by tests/test_scale_ops.py."""
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_cosine_topk(
+        emb, queries, dim=EMBEDDING_DIM, k=5, num_centroids=8, nprobe=4
+    ).orderBy("query_id", "rnk")

@@ -97,3 +97,33 @@ def test_simhash_finds_near_dups(spark):
     if truth:
         recall = len(found & truth) / len(truth)
         assert recall >= 0.5, f"simhash recall {recall}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN must recover most true neighbors while probing only
+    nprobe/num_centroids of the corpus."""
+    from ex9_big_data_gal_drimer_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(
+            emb, queries, dim=64, k=5, num_centroids=8, nprobe=4
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every reported neighbor carries its EXACT cosine (re-ranked), so
+    # reported pairs are a subset of what exhaustive search could rank
+    assert all(q < 10 for q, _ in got)
