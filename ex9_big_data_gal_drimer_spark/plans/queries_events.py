@@ -223,3 +223,38 @@ def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ts) AS last_event_type,
+           MAX(ts) AS last_ts,
+           ROUND(arg_max(value, ts), 2) AS last_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    LIMIT 100
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keep-latest-per-key dedup as ONE hash aggregate
+    (max_by ≡ arg_max) — no window, no sort, one shuffle on the key.
+    The row_number()-window form needs a per-key sort; at 100 TB the
+    aggregate form is strictly cheaper and AQE-skew-splittable.
+    Tie-break: events.ts values are unique per user in this corpus
+    (max_by/arg_max are otherwise tie-nondeterministic)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "ts").alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.max_by("value", "ts"), 2).alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
