@@ -111,6 +111,103 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT shingle-Jaccard pairs via prefix filtering — the
+    similarity-join literature's candidate reduction, result-identical
+    to :func:`ngram_jaccard_pairs`.
+
+    Prefix-filter theorem: order each doc's shingle set by any global
+    total order (xxhash64 here — stable, needs no corpus statistics);
+    if J(A,B) >= t, the first ``floor((1-t)·|A|)+1`` shingles of A and
+    of B must share at least one element.  So the inverted index posts
+    only each doc's PREFIX shingles — at t=0.5 that halves the index
+    and roughly quarters the candidate pairs; at t=0.8 it cuts ~25×.
+    Candidates are verified with the exact Jaccard over the full
+    (cached) shingle arrays — per-pair array ops, but only on the
+    filtered candidate set, which is the point.
+
+    Use this form when the threshold is high or the corpus is large;
+    the plain inverted index computes intersections as join-match
+    counts and wins when most pairs are candidates anyway.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            word_shingles(tokens(F.col(text_col)), shingle_k).alias("raw_sh"),
+        )
+        .filter(F.size("raw_sh") > 0)
+        .withColumn(
+            "sh",
+            F.expr(
+                "transform(array_sort(transform(raw_sh,"
+                " s -> struct(xxhash64(s) AS h, s AS s))), x -> x.s)"
+            ),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .withColumn(
+            "prefix",
+            F.expr(
+                f"slice(sh, 1, CAST(floor((1.0 - {threshold}) * size(sh)) AS INT) + 1)"
+            ),
+        )
+        .drop("raw_sh")
+        .cache()  # both candidate sides + the verify join read this
+    )
+    posting = base.select(
+        "doc_id", *block_cols, F.explode("prefix").alias("shingle")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sides = base.select("doc_id", "sh", "n_sh")
+    pairs = (
+        cand.join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_id_b",
+        )
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sim = n_inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - n_inter
+    ).cast("double")
+    return pairs.filter(sim >= threshold).select(
+        "doc_id_a", "doc_id_b", F.round(sim, 4).alias("jaccard_sim")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -115,6 +115,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_prefix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               string_split(LOWER(text), ' ') AS t
+        FROM documents
+    ), shingled AS (
+        SELECT doc_id, lang, len_bucket,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                        for i in range(1, len(t) - 1)])
+                    ELSE [list_aggr(t, 'string_agg', ' ')]
+               END AS sh
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard_sim
+    FROM shingled a
+    JOIN shingled b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+    ORDER BY doc_id_a, doc_id_b
+    """,
+)
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup pairs via PREFIX FILTERING — result-identical to
+    dedup_ngram_jaccard (same oracle) with the similarity-join
+    literature's candidate reduction: only each doc's first
+    floor((1-t)|sh|)+1 shingles (under a global xxhash64 order) enter
+    the inverted index; the prefix-filter theorem guarantees no
+    qualifying pair is missed.  At t=0.5 this halves the index and
+    ~quarters candidate pairs; at higher thresholds the cut is
+    dramatic (t=0.8 → ~25×) — the knob that keeps exact similarity
+    self-joins feasible at 100 TB.  Verification computes exact
+    Jaccard on the (small) candidate set only."""
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
+    )
+    return ngram_jaccard_pairs_prefix(
+        docs, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
     "knn_bruteforce_cosine",
     oracle="""
     WITH e AS (

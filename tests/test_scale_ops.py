@@ -127,3 +127,16 @@ def test_ivf_recall_vs_bruteforce(spark):
     # every reported neighbor carries its EXACT cosine (re-ranked), so
     # reported pairs are a subset of what exhaustive search could rank
     assert all(q < 10 for q, _ in got)
+
+
+def test_prefix_filter_is_result_identical(spark):
+    """Prefix filtering must be a pure candidate optimization: the
+    pair set and similarities equal the plain inverted-index form."""
+    from ex9_big_data_gal_drimer_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    plain = sorted(tuple(r) for r in ngram_jaccard_pairs(docs).collect())
+    pref = sorted(tuple(r) for r in ngram_jaccard_pairs_prefix(docs).collect())
+    assert plain == pref
