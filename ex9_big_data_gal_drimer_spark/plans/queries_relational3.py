@@ -224,3 +224,43 @@ def dedup_apply_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "skew_salted_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join, oracle-checked: revenue per market segment
+    through an EXPLICITLY SALTED orders⋈customer join
+    (operators/skew.py) — the fact side salts on its row key
+    (o_orderkey, unique, so a hot customer spreads across all salt
+    buckets), the customer side replicates ×8, and the join key
+    becomes (custkey, salt).  Results are identical to the plain join
+    (that IS the oracle), which upgrades the salting operator from
+    property-test-only to driver-oracle-confirmed.  Use when one key
+    dominates and AQE skew-split isn't available (streaming joins,
+    forced shuffle-hash)."""
+    from ..operators.skew import salted_join
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        o, c, "o_custkey", "c_custkey", num_salts=8, salt_from="o_orderkey"
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+        .orderBy("segment")
+    )

@@ -45,3 +45,31 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register("hll_sketch_rollup")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern that makes approximate
+    distinct counts reusable at 100 TB: build one HLL sketch per
+    (month, day) ONCE, then answer the coarser month-level distinct
+    question by UNIONING the day sketches instead of rescanning the
+    fact table.  `approx_count_distinct` alone can't do this (its
+    buffer isn't exposed); hll_sketch_agg/hll_union_agg persist and
+    merge.  Rows-only (sketch estimates are engine-specific);
+    estimate-vs-exact error is pinned by tests/test_hll_rollup.py."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(o_custkey)").alias("sk"))
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_distinct_customers"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("month")
+        .limit(24)
+    )

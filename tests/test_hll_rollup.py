@@ -1,0 +1,30 @@
+"""Mergeable HLL sketch rollup: union-of-day-sketches must estimate
+month-level distincts within HLL error of the exact answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ex9_big_data_gal_drimer_spark.catalog import table
+from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+from conftest import SF_DIR
+
+
+def test_sketch_union_estimates_match_exact(spark):
+    got = {
+        r.month: r.approx_distinct_customers
+        for r in QUERIES["hll_sketch_rollup"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.month: r.n
+        for r in table(spark, SF_DIR, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+        if r.month in got
+    }
+    assert got and set(got) <= set(exact)
+    for m, est in got.items():
+        err = abs(est - exact[m]) / max(exact[m], 1)
+        assert err < 0.05, f"{m}: estimate {est} vs exact {exact[m]} ({err:.1%})"
