@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import datetime
 import os
+import re
+import shutil
 import sqlite3
 from collections.abc import Callable, Mapping
 
@@ -50,6 +52,15 @@ def materialize_query(
     try:
         spark.sql(f"DROP TABLE IF EXISTS {results_table}")
         spark.sql(f"DROP TABLE IF EXISTS {sample_table}")
+        # a killed prior process can leave the managed location on disk
+        # with no catalog entry; saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS — clear such orphans
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        warehouse = warehouse.removeprefix("file:")
+        for t in (results_table, sample_table):
+            loc = os.path.join(warehouse, t.lower())
+            if warehouse and os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
         df.write.mode("overwrite").saveAsTable(results_table)
         seeded_sample_n(df, sample_rows, seed).write.mode("overwrite").saveAsTable(
             sample_table
@@ -107,7 +118,11 @@ def generate_documentation(spark: SparkSession, out_path: str) -> str:
     """Catalog docs: table list, row counts, schemas → markdown.
 
     Reference main.py:340-399 via information_schema/PRAGMA; here
-    spark.catalog.listTables/listColumns + df.count.
+    spark.catalog.listTables/listColumns.  Exact counts are computed
+    only for the bounded ``_sample`` tables (≤SAMPLE_ROWS by
+    construction); other tables use the catalog's stored statistics
+    when available — scanning every result table just to print a row
+    count is the kind of hidden full pass that hurts at scale.
     """
     lines = [
         "# Database documentation",
@@ -117,7 +132,14 @@ def generate_documentation(spark: SparkSession, out_path: str) -> str:
     ]
     for t in sorted(spark.catalog.listTables(), key=lambda t: t.name):
         df = spark.table(t.name)
-        lines += [f"## {t.name}", "", f"Rows: {df.count()}", "", "| column | type |", "|---|---|"]
+        if t.name.endswith("_sample"):
+            rows = str(df.count())
+        else:
+            stats = spark.sql(f"DESCRIBE EXTENDED {t.name}").collect()
+            detail = {r.col_name: r.data_type for r in stats}
+            m = re.search(r"(\d+) rows", detail.get("Statistics", "") or "")
+            rows = m.group(1) if m else "(not computed — run ANALYZE TABLE)"
+        lines += [f"## {t.name}", "", f"Rows: {rows}", "", "| column | type |", "|---|---|"]
         lines += [f"| {f.name} | {f.dataType.simpleString()} |" for f in df.schema.fields]
         lines.append("")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
