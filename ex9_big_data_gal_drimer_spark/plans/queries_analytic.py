@@ -1,0 +1,180 @@
+"""Analytic-window depth: explicit frames and per-key sequence
+analysis (SURVEY.md §2.5 additive surface).
+
+The reference's two window sites (RANK / FIRST_VALUE, reference
+main.py:104-105) both use the default frame; this tranche exercises
+the frame clause itself — RANGE frames keyed on event time (the
+time-series rolling aggregate) and ROWS frames (the fixed-width
+moving average) — plus LAG-based gap analysis running partitioned
+over the raw fact table rather than a post-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from .registry import register
+
+_SECONDS_PER_DAY = 86_400
+
+
+@register(
+    "rolling_revenue_frames",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT day, revenue,
+           ROUND(SUM(revenue) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rev_7d,
+           ROUND(AVG(revenue) OVER (
+               ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 2) AS ma_3row
+    FROM daily
+    ORDER BY day
+    """,
+)
+def rolling_revenue_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames over the daily revenue series: a 7-day
+    RANGE frame (calendar-aware — days missing from the data still
+    age out of the window) and a 3-row ROWS frame (fixed width
+    regardless of calendar gaps).  The two differ exactly where the
+    series has holes, which is why both exist.
+
+    Spark's rangeBetween needs a numeric ordering key, so the date is
+    keyed as unix_date (days since epoch) and the frame is [-6, 0]
+    days; DuckDB orders the DATE directly with an INTERVAL frame —
+    identical windows.
+
+    Scale: both windows are unpartitioned but run on post-aggregate
+    daily rows (≤ #days — the same safety argument as q4, enforced
+    for every registered query by test_plan_audit); the heavy input
+    is reduced by the groupBy first.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w_range = (
+        Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    )
+    w_rows = Window.orderBy("day").rowsBetween(-2, 0)
+    return (
+        daily.select(
+            "day",
+            "revenue",
+            F.round(F.sum("revenue").over(w_range), 2).alias("rev_7d"),
+            F.round(F.avg("revenue").over(w_rows), 2).alias("ma_3row"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               DATE_DIFF('day',
+                         LAG(o_orderdate) OVER (
+                             PARTITION BY o_custkey ORDER BY o_orderdate),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(*) + 1 AS n_orders,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           ROUND(AVG(gap_days), 2) AS avg_gap_days
+    FROM seq
+    WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    ORDER BY max_gap_days DESC, custkey
+    LIMIT 20
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sequence analysis on the raw fact table: the day-gaps
+    between each customer's consecutive orders (LAG over a window
+    PARTITIONED by the key — one shuffle on o_custkey, per-partition
+    sort, no global sort), then the customers with the longest dry
+    spells.
+
+    Tie-safety: ordering only by o_orderdate makes LAG ambiguous
+    between equal timestamps, but consecutive differences of a sorted
+    multiset are permutation-invariant, so the gap MULTISET (and
+    max/avg over it) is deterministic either way.
+
+    Scale: this is the canonical "sessionize a 100 TB event log"
+    shape — hash-partition by key, sort within partition; skewed keys
+    are the risk and AQE skew-split handles the shuffle side.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_orders"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+        )
+        .orderBy(F.desc("max_gap_days"), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "events_enriched_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_enriched_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the STREAM-STATIC enrichment join
+    (streaming.windows.enrich_with_dimensions): every event joined to
+    the customer dimension and rolled up per nation × event type.
+    The identical column expressions run as a streaming enrichment —
+    a stream joined to broadcast static dimensions needs no
+    watermark and keeps no join state.
+
+    Scale: the fact side never shuffles for the join (both dims are
+    broadcast); the single shuffle is the final aggregation on
+    (nation, event_type) — 125 groups.
+    """
+    from ..streaming.windows import enrich_with_dimensions
+
+    enriched = enrich_with_dimensions(
+        table(spark, sf_dir, "events"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+    )
+    return (
+        enriched.groupBy("nation", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("nation", "event_type")
+    )

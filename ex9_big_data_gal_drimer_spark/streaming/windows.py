@@ -143,6 +143,31 @@ def click_purchase_within(
     )
 
 
+def enrich_with_dimensions(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC enrichment join: each event joined to its
+    customer row and nation name.  Both dimension sides are static
+    batch DataFrames and explicitly broadcast, so a streaming fact
+    side needs no watermark and the join keeps NO state — each
+    micro-batch is enriched map-side against the broadcast tables.
+    Batch callers get the identical plan (the DuckDB-oracle-checked
+    events_enriched_by_nation builds its rollup on this).
+
+    Scale: the broadcast re-ships per executor, not per micro-batch;
+    for dimensions too big to broadcast the scale path is a
+    slowly-changing-dimension join against a bucketed table, same
+    call signature.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("_nk")
+    ).join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("_nk"), "n_name")),
+        "_nk",
+    ).select("user_id", F.col("n_name").alias("nation"))
+    return events.join(F.broadcast(dim), "user_id")
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "pyspark.sql.streaming.StreamingQuery":

@@ -83,6 +83,30 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert len(got) > 0
 
 
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast enrichment: stateless, no watermark
+    needed, and row-for-row equal to the batch join."""
+    from ex9_big_data_gal_drimer_spark.streaming.windows import (
+        enrich_with_dimensions,
+    )
+
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    stream = read_events_stream(spark, events_dir)
+    got = _run_and_fetch(
+        spark,
+        enrich_with_dimensions(stream, customer, nation).select(
+            "event_id", "nation"
+        ),
+        "t_enrich",
+    ).collect()
+    batch = enrich_with_dimensions(
+        load_table(spark, SF_DIR, "events"), customer, nation
+    ).select("event_id", "nation").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0
+
+
 def test_stateful_ttl_smoke(spark, events_dir):
     """running_user_totals with a state TTL: the ProcessingTimeTimeout
     wiring must run end-to-end and, within one availableNow pass (no
