@@ -138,6 +138,58 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_user_hourly",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               DATE_TRUNC('hour', MIN(ts)) AS h0,
+               DATE_TRUNC('hour', MAX(ts)) AS h1
+        FROM events GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        FROM spans
+    ), filled AS (
+        SELECT g.user_id, g.hour_ts, e.value
+        FROM grid g ASOF LEFT JOIN events e
+          ON g.user_id = e.user_id AND g.hour_ts >= e.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_hours,
+           COUNT(value) AS n_filled,
+           ROUND(SUM(value), 2) AS total_filled_value
+    FROM filled
+    GROUP BY 1
+    ORDER BY user_id
+    LIMIT 50
+    """,
+)
+def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map custom operator (applyInPandas): each user's
+    irregular event stream resampled onto an hourly grid with
+    forward-fill (operators.resample), then summarized per user.
+
+    The pandas per-group function IS the operator; the oracle
+    reproduces its semantics relationally (generate_series grid +
+    ASOF join) — the differential check that the imperative and
+    declarative forms agree is the point of the test.
+    """
+    from ..operators.resample import resample_hourly_ffill
+
+    filled = resample_hourly_ffill(table(spark, sf_dir, "events"))
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count("filled_value").alias("n_filled"),
+            F.round(F.sum("filled_value"), 2).alias("total_filled_value"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
+
+
+@register(
     "events_enriched_by_nation",
     oracle="""
     SELECT n.n_name AS nation,
