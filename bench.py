@@ -6,8 +6,10 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": 0.1}
 
 Methodology (matches BASELINE.md): warm timings — one untimed warmup
-run per query (pays codegen/classload), then mean of
-$SPARK_GRAFT_BENCH_REPEATS (default 3) timed runs.  Timing starts
+run per query (pays codegen/classload), then the MEDIAN of
+$SPARK_GRAFT_BENCH_REPEATS (default 3) timed runs (median, not mean:
+this box shows hypervisor steal spikes that can triple one run of an
+0.3 s query, and a mean of 3 inherits the spike).  Timing starts
 after the SparkSession exists; the suite amortizes the JVM+session
 floor the way the reference amortizes its single DuckDB connection
 (reference main.py:236).
@@ -30,6 +32,7 @@ import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -111,7 +114,7 @@ def main() -> int:
                 t0 = time.perf_counter()
                 df.collect()
             samples.append(time.perf_counter() - t0)
-        times[name] = round(sum(samples) / len(samples), 3)
+        times[name] = round(statistics.median(samples), 3)
 
     out = {
         "metric": "suite_seconds",

@@ -18,3 +18,4 @@ from . import queries_functions  # noqa: F401,E402
 from . import queries_stats  # noqa: F401,E402
 from . import queries_text3  # noqa: F401,E402
 from . import queries_analytic  # noqa: F401,E402
+from . import queries_curation  # noqa: F401,E402
