@@ -48,6 +48,13 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--skip-charts", action="store_true")
     parser.add_argument("--static-dashboard", action="store_true")
+    parser.add_argument(
+        "--sql",
+        default=None,
+        help="run one ad-hoc SQL statement over the testdata tables "
+        "(registered as views) and print the result as TSV; skips the "
+        "pipeline stages",
+    )
     args = parser.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -55,6 +62,22 @@ def main(argv=None) -> int:
         app_name="ex9-pipeline",
         extra_conf={"spark.sql.warehouse.dir": os.path.abspath(args.out)},
     )
+
+    if args.sql:
+        # The reference's native interface is a raw SQL string against
+        # its engine (reference main.py:250); this is the same surface
+        # with Spark SQL as the dialect.  Capped output — ad-hoc SQL is
+        # for inspection, the pipeline path is for materialization.
+        from .catalog import register_views
+
+        register_views(spark, args.sf_dir)
+        rows = spark.sql(args.sql).limit(1000).collect()
+        if rows:
+            print("\t".join(rows[0].__fields__))
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
+        print(f"-- {len(rows)} rows", file=sys.stderr)
+        return 0
 
     names = args.queries or sorted(QUERIES)
     t0 = time.perf_counter()

@@ -227,6 +227,81 @@ def vectorized_topk(
     )
 
 
+def quantize_int8(vec: F.Column) -> F.Column:
+    """Per-vector symmetric int8 scalar quantization:
+    ``q[i] = round(127 * v[i] / max|v|)``.
+
+    Cosine similarity is invariant under per-vector positive scaling,
+    so cosine(qa, qb) ≈ cosine(a, b) with only rounding error
+    (~1/127 per component) — no global statistics pass, no codebook,
+    map-side only.  The point at 100 TB is BYTES: an int8 array is
+    ~8× smaller than array<double> on scan, shuffle and cache, which
+    is where embedding workloads actually spend."""
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    return F.transform(
+        vec, lambda x: F.round(F.lit(127.0) * x / amax).cast("int")
+    )
+
+
+def sq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Scalar-quantized cosine top-k with exact re-rank: score every
+    (query, doc) pair on the int8 representations, keep the top
+    ``rerank_factor × k`` candidates per query, then exact-cosine only
+    those on the full-precision vectors.
+
+    Complements the LSH/IVF paths: same brute-force candidate
+    asymptotics, but the quantized corpus representation is ~8×
+    smaller — this is the variant for corpora that are scanned
+    repeatedly (the quantized columns live in cache / a slim parquet
+    projection) where candidate pruning is not worth its recall risk.
+    The exact re-rank touches only rerank_factor×k×|queries| vectors.
+    """
+    cq = corpus.select(
+        id_col, vec_col, quantize_int8(F.col(vec_col)).alias("v8")
+    )
+    qq = queries.select(
+        query_id_col,
+        query_vec_col,
+        quantize_int8(F.col(query_vec_col)).alias("q8"),
+    )
+
+    approx = F.round(
+        cosine_similarity(F.col("q8"), F.col("v8")), sim_scale
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim_q"), "neighbor_id")
+    cands = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__nv"),
+            approx.alias("sim_q"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank_factor * k)
+    )
+
+    sim = F.round(cosine_similarity(F.col(query_vec_col), F.col("__nv")), sim_scale)
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cands.select(query_id_col, "neighbor_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def _centroid_df(spark, dim: int, num_centroids: int, seed: int) -> DataFrame:
     rng = random.Random(seed)
     rows = [

@@ -61,6 +61,29 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_sq_cosine")
+def knn_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #3: int8 scalar quantization + exact re-rank.
+    Approximate scoring runs on per-vector symmetric int8
+    representations (cosine is scale-invariant, so quantization only
+    adds ~1/127 rounding noise); the exact pass re-ranks the top
+    rerank_factor×k candidates on full precision.  The scale win is
+    an ~8× smaller corpus representation on scan/shuffle/cache.
+    Rows-only (quantization rounding is engine-specific); recall vs
+    brute force pinned by tests/test_scale_ops.py."""
+    from ..operators.similarity import sq_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return sq_cosine_topk(emb, queries, k=5, rerank_factor=3).orderBy(
+        "query_id", "rnk"
+    )
+
+
 @register("knn_ivf_cosine")
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #2: inverted-file (IVF) ANN — seeded spherical

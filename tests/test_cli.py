@@ -49,3 +49,24 @@ def test_cli_pipeline(spark, tmp_path):
         "lang_distribution_sample",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_adhoc_sql(spark, tmp_path, capsys):
+    """--sql runs one ad-hoc statement over the registered testdata
+    views and prints TSV (reference main.py:250's raw-SQL surface)."""
+    rc = main(
+        [
+            "--sf-dir",
+            SF_DIR,
+            "--out",
+            str(tmp_path / "wh_sql"),
+            "--sql",
+            "SELECT n_name, COUNT(*) AS n FROM nation GROUP BY n_name "
+            "ORDER BY n_name LIMIT 3",
+        ]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "n_name\tn"
+    assert len(lines) == 4  # header + 3 rows
+    assert all("\t1" in l for l in lines[1:])

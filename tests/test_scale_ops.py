@@ -84,6 +84,32 @@ def test_lsh_cosine_topk_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall {recalls}"
 
 
+def test_sq_cosine_topk_recall(spark):
+    """int8 quantization adds only ~1/127 rounding noise to cosine;
+    with a 3× re-rank margin the top-5 should match brute force
+    almost exactly."""
+    from ex9_big_data_gal_drimer_spark.operators.similarity import sq_cosine_topk
+
+    emb = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = sq_cosine_topk(emb, queries, k=5, rerank_factor=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, f"sq recall {recalls}"
+
+
 def test_simhash_finds_near_dups(spark):
     from ex9_big_data_gal_drimer_spark.operators.dedup import simhash_pairs
 
