@@ -16,6 +16,59 @@ from .registry import register
 
 
 @register(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(LOWER(text), ' ') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, source, u.s, t[u.s+1:u.s+16] AS chunk
+        FROM toks, UNNEST(range(0, len(t), 8)) AS u(s)
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           ROUND(AVG(len(chunk)), 2) AS avg_chunk_tokens,
+           CAST(COUNT(CASE WHEN len(chunk) = 16 THEN 1 END) AS BIGINT)
+               AS n_full_chunks
+    FROM chunks
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep op
+    of a training pipeline: each doc's token stream cut into 16-token
+    windows with stride 8 (50% overlap), summarized per source.
+
+    Entirely JVM-side: `sequence` generates the window starts,
+    `explode` fans them out map-side, `slice` cuts each window — no
+    UDF, no shuffle until the final per-source aggregate (which
+    combines map-side).  At 100 TB chunk rows never materialize
+    wholesale: the explode feeds the consumer (tokenizer/writer)
+    within the same stage.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(8))
+    chunk_len = F.size(F.slice(F.col("t"), F.col("s") + 1, F.lit(16)))
+    return (
+        toks.select("doc_id", "source", "t", F.explode(starts).alias("s"))
+        .select("doc_id", "source", chunk_len.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.avg("n_tok"), 2).alias("avg_chunk_tokens"),
+            F.count(F.when(F.col("n_tok") == 16, 1)).alias("n_full_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "curate_training_corpus",
     oracle="""
     WITH quality AS (
