@@ -47,6 +47,44 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("word_topk_sketch_rollup")
+def word_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE frequent-items rollup (the top-k twin of
+    hll_sketch_rollup): one approx_top_k sketch per source, combined
+    for the global top-20 words — per-source sketches persist once
+    and answer coarser questions by merging, instead of re-scanning
+    the corpus.  Rows-only (sketch internals are engine-specific);
+    agreement with the exact word_freq_top20 is pinned by
+    tests/test_hll_rollup.py.
+
+    Scale: the explode fan-out combines map-side into per-source
+    sketches (bounded size, k=256 entries each); the merge handles
+    |sources| sketches, never word rows."""
+    from ..functions import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.trim("word") != "")
+    )
+    per_source = words.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(word, 256)").alias("sk")
+    )
+    return (
+        per_source.agg(
+            F.expr("approx_top_k_estimate(approx_top_k_combine(sk), 20)").alias(
+                "top"
+            )
+        )
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("word"),
+            F.col("e.count").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+    )
+
+
 @register("hll_sketch_rollup")
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE-sketch rollup — the pattern that makes approximate

@@ -28,3 +28,21 @@ def test_sketch_union_estimates_match_exact(spark):
     for m, est in got.items():
         err = abs(est - exact[m]) / max(exact[m], 1)
         assert err < 0.05, f"{m}: estimate {est} vs exact {exact[m]} ({err:.1%})"
+
+
+def test_word_topk_sketch_matches_exact(spark):
+    """Combined per-source approx_top_k sketches must recover the
+    exact global top-20 words (sketch capacity 256 >> top-20 on this
+    vocabulary; counts for recovered words must be exact)."""
+    got = {
+        r.word: r.n_occurrences
+        for r in QUERIES["word_topk_sketch_rollup"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.word: r.n_occurrences
+        for r in QUERIES["word_freq_top20"](spark, SF_DIR).collect()
+    }
+    overlap = set(got) & set(exact)
+    assert len(overlap) >= 18, f"top-20 overlap only {len(overlap)}"
+    for w in overlap:
+        assert got[w] == exact[w], f"{w}: sketch {got[w]} vs exact {exact[w]}"
