@@ -68,6 +68,51 @@ def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_json_events",
+    oracle="""
+    WITH parsed AS (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+        FROM events
+        WHERE json_valid(props)
+    )
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM parsed
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 via VARIANT (Spark 4): ``try_parse_json`` once into the
+    binary-encoded Variant type, then ``variant_get`` typed path
+    extraction — the third JSON tier after get_json_object (per-field
+    string re-parse, json_extract_events) and from_json (declared
+    struct schema, from_json_typed).  Variant needs NO schema
+    declaration, tolerates evolving/heterogeneous documents, and the
+    binary encoding makes repeated path reads cheap — the right
+    default for semi-structured 100 TB event lakes.
+    ``try_parse_json`` yields NULL for malformed input ≡ the oracle's
+    json_valid guard."""
+    events = table(spark, sf_dir, "events")
+    parsed = events.select(
+        F.expr("try_parse_json(props)").alias("v"), "value"
+    ).filter(F.col("v").isNotNull())
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        parsed.select((k % 10).alias("k_mod"), "value", k.alias("k"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "array_agg_segments",
     oracle="""
     SELECT n.n_name AS nation,

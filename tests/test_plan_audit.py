@@ -126,3 +126,41 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         for t in ("orders_bucketed", "customer_bucketed"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Runtime bloom-filter join pruning (SURVEY.md §4 scale lever):
+    when a selective filter sits on the build side of a shuffle join,
+    Catalyst injects a bloom-filter semi-filter on the probe side so
+    the big scan drops non-joining rows BEFORE the shuffle.  Pinned
+    here with the size thresholds lowered to fire at test scale (the
+    defaults target multi-GB scans)."""
+    from ex9_big_data_gal_drimer_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), "no runtime bloom filter injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

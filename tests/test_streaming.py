@@ -132,3 +132,26 @@ def test_stateful_ttl_smoke(spark, events_dir):
         for r in running_user_totals(load_table(spark, SF_DIR, "events")).collect()
     }
     assert last == batch
+
+
+def test_rocksdb_state_store(spark, events_dir):
+    """The session-window aggregation must run (and match batch) on
+    the RocksDB state store provider — the bounded-memory state
+    backend a 100 TB streaming deployment uses instead of the default
+    in-memory HDFS-backed provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = read_events_stream(spark, events_dir)
+        got = _run_and_fetch(
+            spark, session_stats(stream), "t_rocksdb_session", mode="complete"
+        ).collect()
+        batch = session_stats(load_table(spark, SF_DIR, "events")).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    finally:
+        spark.conf.set(key, saved)
