@@ -83,8 +83,9 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     for name in names:
         df = QUERIES[name](spark, args.sf_dir)
-        materialize_query(spark, name, df)
-        print(f"materialized {name}", flush=True)
+        metrics: dict = {}
+        materialize_query(spark, name, df, metrics=metrics)
+        print(f"materialized {name} ({metrics.get('rows', '?')} rows)", flush=True)
 
     db_path = os.path.join(args.out, "serve.db")
     exported = export_samples_to_sqlite(spark, db_path)

@@ -39,16 +39,29 @@ def materialize_query(
     df: DataFrame,
     sample_rows: int = SAMPLE_ROWS,
     seed: int = SAMPLE_SEED,
+    metrics: dict | None = None,
 ) -> tuple[str, str]:
     """CTAS the full result + a seeded ≤n-row sample table.
 
     `{name}_results` and `{name}_sample` land in the session warehouse
     as Parquet tables (reference main.py:265-289, minus the double
     execution: the result plan is cached once, both sinks read it).
+
+    Pass a dict as ``metrics`` to receive observed write-time metrics
+    (``rows``): an `Observation` rides the results-write action, so
+    the count costs nothing extra — no separate ``df.count()`` pass
+    (at 100 TB a post-hoc count is a second full scan).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     results_table = f"{name}_results"
     sample_table = f"{name}_sample"
     df = df.cache()
+    obs: Observation | None = None
+    if metrics is not None:
+        obs = Observation(f"{name}_write_metrics")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     try:
         spark.sql(f"DROP TABLE IF EXISTS {results_table}")
         spark.sql(f"DROP TABLE IF EXISTS {sample_table}")
@@ -62,6 +75,8 @@ def materialize_query(
             if warehouse and os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)
         df.write.mode("overwrite").saveAsTable(results_table)
+        if obs is not None:
+            metrics.update(obs.get)
         seeded_sample_n(df, sample_rows, seed).write.mode("overwrite").saveAsTable(
             sample_table
         )

@@ -94,3 +94,23 @@ def test_documentation(spark, materialized, tmp_path):
     text = open(out).read()
     assert "test_orders_results" in text
     assert "o_orderkey" in text
+
+
+def test_materialize_observed_metrics(spark, tmp_path):
+    """Write-time Observation: the row count arrives with the write
+    action (no second scan) and matches the materialized table."""
+    from ex9_big_data_gal_drimer_spark.catalog import load_table
+    from ex9_big_data_gal_drimer_spark.pipeline import materialize_query
+
+    from conftest import SF_DIR
+
+    nation = load_table(spark, SF_DIR, "nation")
+    metrics: dict = {}
+    results_t, sample_t = materialize_query(
+        spark, "test_obs_nation", nation, metrics=metrics
+    )
+    try:
+        assert metrics["rows"] == spark.table(results_t).count() == 25
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {results_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {sample_t}")
