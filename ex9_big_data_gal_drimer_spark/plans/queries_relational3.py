@@ -166,6 +166,67 @@ def levenshtein_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_priority_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           CASE o_orderpriority
+                WHEN '1-URGENT' THEN 'urgent'
+                WHEN '2-HIGH' THEN 'high'
+                WHEN '3-MEDIUM' THEN 'medium'
+                WHEN '4-NOT SPECIFIED' THEN 'not_specified'
+                ELSE 'low'
+           END AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY month, priority
+    """,
+)
+def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long (`unpivot`, the pivot's inverse): monthly order
+    counts pivoted to one column per priority, then melted back to
+    (month, priority, n_orders) rows.  The oracle states the
+    equivalent long-form aggregation directly — pivot∘unpivot must be
+    the identity on the populated cells (absent combinations become
+    pivot NULLs → filled 0 → filtered out to match).
+
+    Scale: pivot with an explicit value list is a single-pass
+    aggregate into 5 columns; unpivot is a map-side expand (5 rows
+    per input row, no shuffle)."""
+    orders = table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed(
+            {
+                "1-URGENT": "urgent",
+                "2-HIGH": "high",
+                "3-MEDIUM": "medium",
+                "4-NOT SPECIFIED": "not_specified",
+                "5-LOW": "low",
+            }
+        )
+    )
+    return (
+        wide.unpivot(
+            "month",
+            ["urgent", "high", "medium", "not_specified", "low"],
+            "priority",
+            "n_orders",
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("month", "priority")
+    )
+
+
+@register(
     "dedup_apply_ngram",
     oracle="""
     WITH toks AS (
