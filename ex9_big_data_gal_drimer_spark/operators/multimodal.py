@@ -77,22 +77,39 @@ def _be_long(col: F.Column, pos: int, nbytes: int) -> F.Column:
     return F.conv(F.hex(F.substring(col, pos, nbytes)), 16, 10).cast("long")
 
 
+def _le_long(col: F.Column, pos: int, nbytes: int) -> F.Column:
+    """Little-endian unsigned int from `nbytes` at 1-indexed `pos`."""
+    out = _be_long(col, pos, 1)
+    for i in range(1, nbytes):
+        out = out + _be_long(col, pos + i, 1) * (256 ** i)
+    return out
+
+
 def _sniff(payload: F.Column):
-    """(mime, width, height) column expressions from magic bytes.
+    """(mime, width, height, duration_ms) column expressions from
+    magic bytes.
 
     PNG and GIF store dimensions at FIXED offsets (PNG IHDR: 4-byte
     big-endian at 17/21; GIF logical screen: 2-byte little-endian at
-    7/9), so their headers parse with pure built-in expressions —
-    whole-stage codegen, no Python.  JPEG dimensions live in a
-    variable-position SOFn marker and need the Arrow scan
-    (:func:`attach_image_dims`)."""
+    7/9); canonical PCM WAV stores byte-rate (LE at 29) and the data
+    chunk length (LE at 41 when the data chunk directly follows the
+    16-byte fmt chunk — the layout the stdlib `wave` writer emits),
+    giving duration = data_len / byte_rate.  All of it parses with
+    pure built-in expressions — whole-stage codegen, no Python.  JPEG
+    dimensions live in a variable-position SOFn marker and need the
+    Arrow scan (:func:`attach_image_dims`); non-canonical WAV chunk
+    layouts likewise leave duration NULL for an Arrow pass."""
     is_png = F.substring(payload, 1, 8) == F.lit(_PNG_SIG)
     is_gif = F.substring(payload, 1, 4) == F.lit(b"GIF8")
     is_jpeg = F.substring(payload, 1, 3) == F.lit(b"\xff\xd8\xff")
+    is_wav = (F.substring(payload, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(payload, 9, 4) == F.lit(b"WAVE")
+    )
     mime = (
         F.when(is_png, "image/png")
         .when(is_gif, "image/gif")
         .when(is_jpeg, "image/jpeg")
+        .when(is_wav, "audio/wav")
         .otherwise("application/octet-stream")
     )
     png_ihdr = is_png & (F.substring(payload, 13, 4) == F.lit(b"IHDR"))
@@ -102,7 +119,18 @@ def _sniff(payload: F.Column):
     height = F.when(png_ihdr, _be_long(payload, 21, 4)).when(
         is_gif, _be_long(payload, 10, 1) * 256 + _be_long(payload, 9, 1)
     )
-    return mime, width, height
+    wav_canonical = (
+        is_wav
+        & (F.substring(payload, 13, 4) == F.lit(b"fmt "))
+        & (F.substring(payload, 37, 4) == F.lit(b"data"))
+    )
+    byte_rate = _le_long(payload, 29, 4)
+    data_len = _le_long(payload, 41, 4)
+    duration_ms = F.when(
+        wav_canonical & (byte_rate > 0),
+        F.round(data_len * 1000.0 / byte_rate).cast("long"),
+    )
+    return mime, width, height, duration_ms
 
 
 def attach_media_meta(
@@ -117,7 +145,7 @@ def attach_media_meta(
     bytes; pass a literal to override.  JPEG width/height stay NULL
     here — fill them with :func:`attach_image_dims` (Arrow pass)."""
     payload = F.col(payload_col)
-    sniffed_mime, width, height = _sniff(payload)
+    sniffed_mime, width, height, duration_ms = _sniff(payload)
     return df.withColumn(
         "meta",
         F.struct(
@@ -125,7 +153,7 @@ def attach_media_meta(
             (F.lit(mime) if mime is not None else sniffed_mime).alias("mime"),
             width.alias("width"),
             height.alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            duration_ms.cast("long").alias("duration_ms"),
             F.sha2(payload, 256).alias("sha256"),
         ),
     )
