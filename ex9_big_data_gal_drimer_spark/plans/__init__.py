@@ -19,3 +19,59 @@ from . import queries_stats  # noqa: F401,E402
 from . import queries_text3  # noqa: F401,E402
 from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Driver evaluation window: the correctness harness checks only the FIRST 50
+# registered queries.  Registration order is import order above, which tracks
+# build history — so without intervention every newly added query lands PAST
+# the window and never earns a driver correctness row (round-2 verdict §1).
+#
+# Fix: an explicit priority list.  Queries that have never had a driver row
+# (round-2 additions + anything new this round) are re-seated FIRST; queries
+# whose green rows are already banked in CORRECTNESS_r01/r02 follow in their
+# original registration order.  Local tests cover every query regardless of
+# position, so this only changes which rows the driver re-verifies.
+# ---------------------------------------------------------------------------
+_DRIVER_PRIORITY: list[str] = [
+    # round-2 queries dark to the driver (VERDICT.md round 2, ask #1)
+    "asof_latest_purchase",
+    "range_join_price_bands",
+    "dedup_connected_components",
+    "rolling_revenue_frames",
+    "customer_order_gaps",
+    "monthly_revenue_momentum",
+    "tfidf_top_terms",
+    "bm25_rank_docs",
+    "chunk_documents",
+    "curate_training_corpus",
+    "from_json_typed",
+    "variant_json_events",
+    "array_agg_segments",
+    "lineitem_price_stats",
+    "events_rollup_cascade",
+    "events_enriched_by_nation",
+    "resample_user_hourly",
+    "bpe_token_stats",
+    "doc_quality_scores",
+    "dedup_embedding_cosine",
+    "hll_sketch_rollup",
+    "word_topk_sketch_rollup",
+    "knn_lsh_cosine",
+    "knn_sq_cosine",
+    "knn_ivf_cosine",
+]
+
+
+def _reorder_for_driver() -> None:
+    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+    for n, fn in QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    oracles = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(oracles)
+
+
+_reorder_for_driver()
