@@ -43,14 +43,7 @@ from ex9_big_data_gal_drimer_spark.session import get_spark
 
 def _previous_bench(here: str) -> tuple[str, dict[str, float]] | None:
     """Newest BENCH_r{N}.json next to the script, for delta reporting."""
-    benches = glob.glob(os.path.join(here, "BENCH_r*.json"))
-    best: tuple[int, str] | None = None
-    for path in benches:
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, path)
+    best = _newest_round(here)
     if best is None:
         return None
     try:
@@ -60,6 +53,16 @@ def _previous_bench(here: str) -> tuple[str, dict[str, float]] | None:
         return os.path.basename(best[1]), queries
     except (OSError, json.JSONDecodeError):
         return None
+
+
+def _newest_round(here: str) -> tuple[int, str] | None:
+    """(round, path) of the newest BENCH_r{N}.json next to the script."""
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    return best
 
 
 def main() -> int:
@@ -136,6 +139,22 @@ def main() -> int:
                 if q in prev_times
             },
         }
+
+    # The driver keeps only the tail of stdout, so round-N's per-query
+    # numbers would survive only as deltas inside the next round's file
+    # (round-2 verdict ask #2).  Persist the complete JSON in-repo too:
+    # BENCH_FULL_r{N}.json where N = newest driver BENCH_r*.json + 1
+    # (the round about to be recorded).  Overridable for local runs so
+    # iterating at sf0.01 never clobbers a round artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if full_path is None:
+        newest = _newest_round(here)
+        round_n = (newest[0] if newest else 0) + 1
+        full_path = os.path.join(here, f"BENCH_FULL_r{round_n:02d}.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=2, sort_keys=True)
+        fh.write("\n")
 
     print(json.dumps(out))
     return 0

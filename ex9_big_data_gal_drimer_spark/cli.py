@@ -71,12 +71,16 @@ def main(argv=None) -> int:
         from .catalog import register_views
 
         register_views(spark, args.sf_dir)
-        rows = spark.sql(args.sql).limit(1000).collect()
-        if rows:
-            print("\t".join(rows[0].__fields__))
+        result = spark.sql(args.sql)
+        rows = result.limit(1000).collect()
+        # Header comes from the schema, not rows[0], so an empty result
+        # still prints its columns (scripts can tell "no rows" from
+        # "no output"); flag the silent cap when it may have truncated.
+        print("\t".join(result.columns))
         for r in rows:
             print("\t".join("" if v is None else str(v) for v in r))
-        print(f"-- {len(rows)} rows", file=sys.stderr)
+        suffix = " (limit 1000 reached; output may be truncated)" if len(rows) == 1000 else ""
+        print(f"-- {len(rows)} rows{suffix}", file=sys.stderr)
         return 0
 
     names = args.queries or sorted(QUERIES)

@@ -39,8 +39,18 @@ def resample_hourly_ffill(
     Determinism requires unique (key, ts) pairs (true for the events
     corpus, pinned in latest_event_per_user): with duplicate
     timestamps the as-of winner would be engine-dependent.
+
+    The output schema is derived from the input: the key keeps its own
+    type and ``filled_value`` keeps the value column's type (rather
+    than hardcoding long/double, which would rely on silent Arrow
+    coercion for any other input).  Only the grid column is fixed
+    (timestamp_ntz, hourly).
     """
-    out_schema = f"{key_col} long, hour_ts timestamp_ntz, filled_value double"
+    in_schema = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    out_schema = (
+        f"{key_col} {in_schema[key_col]}, hour_ts timestamp_ntz, "
+        f"filled_value {in_schema[value_col]}"
+    )
 
     def fill(pdf):
         import pandas as pd

@@ -236,10 +236,20 @@ def quantize_int8(vec: F.Column) -> F.Column:
     (~1/127 per component) — no global statistics pass, no codebook,
     map-side only.  The point at 100 TB is BYTES: an int8 array is
     ~8× smaller than array<double> on scan, shuffle and cache, which
-    is where embedding workloads actually spend."""
+    is where embedding workloads actually spend — hence the TINYINT
+    element type (values are bounded to [-127, 127]; the cosine math
+    still promotes to double via its 0.0 accumulator).
+
+    Edge case: an all-zero vector has max|v| = 0 and no meaningful
+    direction; it quantizes to all-zero (guarded division) and its
+    cosine against anything is NULL-safe zero downstream, matching
+    brute_force_topk's handling."""
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
     return F.transform(
-        vec, lambda x: F.round(F.lit(127.0) * x / amax).cast("int")
+        vec,
+        lambda x: F.when(amax > 0, F.round(F.lit(127.0) * x / amax))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
     )
 
 
