@@ -75,17 +75,26 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two numeric array columns (JVM-side fold)."""
+    """Dot product of two numeric array columns (JVM-side fold).
+
+    Elements are cast to double BEFORE the multiply: the fold's 0.0
+    accumulator only promotes the running sum, not the per-element
+    product, so integer element types (e.g. the int8-quantized vectors)
+    would otherwise overflow under ANSI arithmetic (-22S * -22S > 127).
+    For double arrays the cast is a no-op Catalyst simplifies away.
+    """
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def l2_norm(a: Column) -> Column:
-    """Euclidean norm of a numeric array column."""
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    """Euclidean norm of a numeric array column (double math per
+    element — see :func:`dot` for why the cast precedes the square)."""
+    x2 = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    return F.sqrt(F.aggregate(a, F.lit(0.0), x2))
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -237,8 +237,9 @@ def quantize_int8(vec: F.Column) -> F.Column:
     map-side only.  The point at 100 TB is BYTES: an int8 array is
     ~8× smaller than array<double> on scan, shuffle and cache, which
     is where embedding workloads actually spend — hence the TINYINT
-    element type (values are bounded to [-127, 127]; the cosine math
-    still promotes to double via its 0.0 accumulator).
+    element type (values are bounded to [-127, 127]; the cosine fold
+    casts each element to double before multiplying, so the byte type
+    never overflows under ANSI arithmetic).
 
     Edge case: an all-zero vector has max|v| = 0 and no meaningful
     direction; it quantizes to all-zero (guarded division) and its
