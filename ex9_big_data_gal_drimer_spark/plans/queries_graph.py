@@ -57,9 +57,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
     )
+    # Cache the pair edge set: it is the expensive part (inverted-index
+    # self-join) and the CC loop's initial checkpoint re-materializes
+    # it on every rebuild of this query.  CacheManager keys on the
+    # logical plan, so repeated calls share one entry — the same
+    # pattern as the posting-list cache inside ngram_jaccard_pairs.
     pairs = ngram_jaccard_pairs(
         docs, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
-    )
+    ).cache()
     return (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), F.col("component").cast("long"))
