@@ -19,6 +19,7 @@ from . import queries_stats  # noqa: F401,E402
 from . import queries_text3  # noqa: F401,E402
 from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
+from . import queries_hotels  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -33,6 +34,14 @@ from . import queries_curation  # noqa: F401,E402
 # position, so this only changes which rows the driver re-verifies.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
+    # round-3 additions, never driver-checked (hotels fixture per
+    # round-2 verdict ask #5)
+    "hotels_q1",
+    "hotels_q2",
+    "hotels_q3",
+    "hotels_q4",
+    "hotels_q5",
+    "hotels_q6",
     # round-2 queries dark to the driver (VERDICT.md round 2, ask #1)
     "asof_latest_purchase",
     "range_join_price_bands",
