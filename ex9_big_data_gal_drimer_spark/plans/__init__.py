@@ -68,6 +68,8 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_lsh_cosine",
     "knn_sq_cosine",
     "knn_ivf_cosine",
+    # round-3: Arrow-vectorized exact top-k, hash-checkable (ask #7)
+    "knn_vectorized_cosine",
 ]
 
 

@@ -61,6 +61,53 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_vectorized_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(q.qv, e.v), 4) AS sim
+        FROM q, e
+        WHERE e.vec_id != q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id AS neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rnk
+    FROM ranked
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def knn_vectorized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 Arrow path: brute-force cosine top-5 as a numpy matmul over
+    Arrow batches (mapInPandas) — exact, so it shares the brute-force
+    DuckDB oracle (round-2 verdict ask #7).  This is the documented
+    "Python unavoidable → Arrow-batched, never per-row" tier: for wide
+    embeddings the BLAS matmul beats the element-fold JVM expression.
+    The 10-vector query side ships in the task closure (driver collect
+    of 10 rows — the corpus is the distributed side)."""
+    from ..operators.similarity import vectorized_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .toPandas()
+    )
+    return vectorized_topk(emb, queries_pdf, k=5, id_col="vec_id", vec_col="v").orderBy(
+        "query_id", "rnk"
+    )
+
+
 @register("knn_sq_cosine")
 def knn_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #3: int8 scalar quantization + exact re-rank.
