@@ -92,10 +92,10 @@ def main() -> int:
     cache_tables(spark, sf_dir)
     setup_seconds = round(time.perf_counter() - t0, 3)
 
-    # Iterative operators materialize their fixpoint loop during plan
-    # CONSTRUCTION (actions at build time); excluding construction from
-    # their timing would hide the real work.
-    iterative = {"dedup_connected_components"}
+    # Iterative/materializing operators run actions during plan
+    # CONSTRUCTION (fixpoint loops, sketch-store writes); excluding
+    # construction from their timing would hide the real work.
+    iterative = {"dedup_connected_components", "sketch_store_rollup"}
 
     times: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

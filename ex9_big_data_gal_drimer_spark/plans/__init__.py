@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_ivf_cosine",
     # round-3: Arrow-vectorized exact top-k, hash-checkable (ask #7)
     "knn_vectorized_cosine",
+    # round-3: sketch merge through persisted table state (ask #8)
+    "sketch_store_rollup",
 ]
 
 

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -106,6 +109,52 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
                 "approx_distinct_customers"
             ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("month")
+        .limit(24)
+    )
+
+
+@register("sketch_store_rollup")
+def sketch_store_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch contract THROUGH STORAGE (round-2 verdict
+    ask #8): day-level HLL (distinct customers) and approx_top_k
+    (order-priority frequencies) sketches are WRITTEN to a parquet
+    table, read back, and merged to month level — the two-step path a
+    100 TB continuous aggregate actually depends on (nightly job
+    persists day sketches; coarser queries merge persisted state
+    instead of re-scanning the fact table).  hll_sketch_rollup proves
+    the algebra in one plan; this proves the serialized sketch state
+    survives a table round-trip byte-faithfully — the estimates must
+    equal the one-plan form's exactly (tests/test_hll_rollup.py).
+    Rows-only in the driver (sketch estimates are engine-specific).
+    """
+    orders = table(spark, sf_dir, "orders")
+    # Deterministic per-SF store location: reruns overwrite (idempotent
+    # sink), different scale factors don't collide.
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"ex9_sketch_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    daily = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.expr("approx_top_k_accumulate(o_orderpriority, 64)").alias("tk"),
+    )
+    daily.write.mode("overwrite").parquet(store)
+    back = spark.read.parquet(store)
+    return (
+        back.groupBy("month")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_distinct_customers"
+            ),
+            F.element_at(
+                F.expr("approx_top_k_estimate(approx_top_k_combine(tk), 1)"), 1
+            )["item"].alias("top_priority"),
             F.count(F.lit(1)).alias("n_days"),
         )
         .orderBy("month")
