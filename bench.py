@@ -93,9 +93,14 @@ def main() -> int:
     setup_seconds = round(time.perf_counter() - t0, 3)
 
     # Iterative/materializing operators run actions during plan
-    # CONSTRUCTION (fixpoint loops, sketch-store writes); excluding
-    # construction from their timing would hide the real work.
-    iterative = {"dedup_connected_components", "sketch_store_rollup"}
+    # CONSTRUCTION (fixpoint loops, sketch-store writes, the
+    # vectorized top-k's query-vector collect); excluding construction
+    # from their timing would hide the real work.
+    iterative = {
+        "dedup_connected_components",
+        "sketch_store_rollup",
+        "knn_vectorized_cosine",
+    }
 
     times: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

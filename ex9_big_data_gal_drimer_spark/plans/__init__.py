@@ -20,6 +20,7 @@ from . import queries_text3  # noqa: F401,E402
 from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
+from . import queries_media  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -72,6 +73,8 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_vectorized_cosine",
     # round-3: sketch merge through persisted table state (ask #8)
     "sketch_store_rollup",
+    # round-3: real BMP/PPM pixel decode over synthesized payloads (ask #6)
+    "media_features_real",
 ]
 
 

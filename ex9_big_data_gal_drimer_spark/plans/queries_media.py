@@ -1,0 +1,61 @@
+"""Multimodal feature-extraction query (SURVEY.md §2.11 X5).
+
+The driver testdata has no media table, so the payloads are derived
+deterministically FROM the documents table: each doc's text bytes are
+tiled into an 8×8 RGB binary-PPM payload (a real, spec-conformant
+image file), then the REAL stdlib decoder — not the hash stub — turns
+pixels into features (operators.multimodal.pixel_features).  This
+registers the decode→feature path in the driver gate as a rows-only
+entry (pixel statistics are not expressible over parquet in DuckDB
+SQL; the decode itself is pinned by tests/test_multimodal.py's
+format-independence test).
+
+Scale shape: payload build and decode are both Arrow-batched
+mapInPandas over a hash-repartitioned corpus — the documented
+"Python unavoidable → Arrow batches, never per-row" tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.multimodal import extract_features
+from .registry import register
+
+_W = _H = 8
+_BODY = _W * _H * 3
+
+
+def _text_to_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            raw = (t or " ").encode("utf-8", "replace")
+            body = (raw * (_BODY // len(raw) + 1))[:_BODY]
+            payloads.append(f"P6\n{_W} {_H}\n255\n".encode() + body)
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("media_features_real")
+def media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 end-to-end: synthesize real PPM image payloads from document
+    text, decode pixels with the stdlib decoder (real_decoder=True —
+    any fallback to the stub would raise), emit per-image feature
+    vectors.  Rounded to 6 decimals so the output is hash-stable."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    media = docs.mapInPandas(_text_to_ppm, "media_id long, payload binary")
+    feats = extract_features(media, num_features=8, real_decoder=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    ).orderBy("media_id")
