@@ -72,6 +72,16 @@ def normalize_nano_timestamps(
 _SCHEMAS: dict[tuple[str, str, str], object] = {}
 
 
+#: Cache-time fan-out per (app, sf_dir, table) — populated ONLY by
+#: cache_tables.  A sub-128 MB parquet file scans as ONE partition, and
+#: a 1-partition cached fact table serializes every partial aggregate
+#: built on it (measured: q3's triple-distinct 0.65 s serial vs 0.27 s
+#: at 8-wide on the same data).  At 100 TB scans split naturally and
+#: this map stays empty — it corrects a local small-file artifact, not
+#: a scale design.
+_CACHE_PARTITIONS: dict[tuple[str, str, str], int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame, normalizing timestamps."""
     configure(spark)
@@ -82,7 +92,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(path)
     if schema is None:
         _SCHEMAS[key] = df.schema
-    return normalize_nano_timestamps(df, _NANO_TS_COLS.get(name, ()))
+    df = normalize_nano_timestamps(df, _NANO_TS_COLS.get(name, ()))
+    # Must mirror the cached plan exactly: CacheManager substitutes the
+    # in-memory relation only when the query's subtree matches it.
+    width = _CACHE_PARTITIONS.get(key)
+    if width:
+        df = df.repartition(width)
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -111,10 +127,16 @@ def cache_tables(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     keep it safe if called anyway.
     """
     app = spark.sparkContext.applicationId
+    width = min(spark.sparkContext.defaultParallelism, 16)
     for name in tables:
         key = (app, sf_dir, name)
         if key in _CACHED:
             continue
+        if name not in DIM_TABLES:
+            # Fan fact tables out before caching so partial aggregates
+            # parallelize (see _CACHE_PARTITIONS); dims stay narrow —
+            # 16 partitions of a 25-row table is pure task overhead.
+            _CACHE_PARTITIONS[key] = width
         df = load_table(spark, sf_dir, name)
         df.cache().count()
         _CACHED.add(key)
@@ -134,6 +156,7 @@ def release_caches(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     for key in {k for k in _CACHED if k[0] == app}:
         _CACHED.discard(key)
+        _CACHE_PARTITIONS.pop(key, None)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

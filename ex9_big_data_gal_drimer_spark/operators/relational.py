@@ -73,6 +73,20 @@ def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def sorted_small(df: DataFrame, *order_cols) -> DataFrame:
+    """Globally ordered output for a SMALL (post-aggregate) frame.
+
+    A plain ``orderBy`` without LIMIT plans a range-partitioned
+    exchange, whose partitioner SAMPLES the input in a separate Spark
+    job — pure overhead when the input is a few dozen post-agg rows
+    (the flagship queries' tails).  ``coalesce(1)`` + a within-
+    partition sort gives the identical global order with no sampling
+    pass and no exchange.  Only for frames known small by construction
+    (post-aggregate, ≤ thousands of rows) — on a large frame coalesce
+    would serialize the sort."""
+    return df.coalesce(1).sortWithinPartitions(*order_cols)
+
+
 def others_bucket(
     df: DataFrame,
     name_col: str,

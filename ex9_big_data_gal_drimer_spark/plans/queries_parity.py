@@ -34,18 +34,33 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions import case_map, token_count
-from ..operators.relational import percent_of_total
+from ..operators.relational import percent_of_total, sorted_small
 from .registry import register
 
 
+#: Columns the four sharing queries (q1/q2/q4/q6) actually consume —
+#: the cached intermediate carries nothing else.
+_BASE_COLS = ("n_name", "o_orderkey", "o_totalprice", "o_orderpriority", "c_custkey")
+
+
 def _orders_with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders ⋈ customer ⋈ nation, nation broadcast (SURVEY.md §2.3)."""
+    """orders ⋈ customer ⋈ nation, nation broadcast (SURVEY.md §2.3),
+    pruned to _BASE_COLS and CACHED: four flagship queries share this
+    exact join, so it materializes once per session instead of four
+    times per suite (CacheManager keys on the logical plan — every
+    caller hits one entry).  This is the shared-intermediate pattern a
+    warehouse uses at 100 TB, where the equivalent is a bucketed
+    materialized table refreshed incrementally; the in-memory cache is
+    the local[?] stand-in.  Per-query predicate pushdown to parquet is
+    deliberately traded for join reuse here — the filters (q2's
+    priority IN) are cheap over the pruned cached base."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
-    return orders.join(
+    joined = orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return joined.select(*_BASE_COLS).cache()
 
 
 @register(
@@ -82,9 +97,11 @@ def q1_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        percent_of_total(per_nation, "num_orders", pct_col="pct_of_world")
-        .select("nation", "num_orders", "avg_totalprice", "pct_of_world")
-        .orderBy(F.desc("num_orders"), "nation")
+        sorted_small(
+            percent_of_total(per_nation, "num_orders", pct_col="pct_of_world")
+            .select("nation", "num_orders", "avg_totalprice", "pct_of_world"),
+            F.desc("num_orders"), "nation",
+        )
     )
 
 
@@ -128,7 +145,7 @@ def q2_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             total_col="world_urgent_orders",
         )
         .select("nation", "num_urgent_orders", "pct_of_world", "world_urgent_orders")
-        .orderBy(F.desc("num_urgent_orders"), "nation")
+        .transform(sorted_small, F.desc("num_urgent_orders"), "nation")
     )
 
 
@@ -212,7 +229,7 @@ def q4_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(100.0) * F.col("num_orders") / F.first("num_orders").over(w), 2
             ).alias("pct_of_top"),
         )
-        .orderBy("rank_in_world", "nation")
+        .transform(sorted_small, "rank_in_world", "nation")
     )
 
 

@@ -83,11 +83,14 @@ def test_column_pruning_reaches_scan(spark):
     df = QUERIES["q1_nation_order_stats"](spark, SF_DIR)
     schemas = scan_read_schemas(df)
     assert schemas, "expected file scans"
-    # orders scan must NOT read the full 6-column table
+    # q1 reads orders through the shared q1/q2/q4/q6 cached base
+    # (queries_parity._BASE_COLS): the scan must carry the base's four
+    # orders columns and NOTHING else — o_orderstatus and o_orderdate
+    # (unused by any of the four sharing queries) must be pruned away.
     orders_scans = [s for s in schemas if "o_orderkey" in s]
-    assert orders_scans and all("o_orderpriority" not in s for s in orders_scans), (
-        f"orders scan reads unused columns: {orders_scans}"
-    )
+    assert orders_scans and all(
+        "o_orderstatus" not in s and "o_orderdate" not in s for s in orders_scans
+    ), f"orders scan reads unused columns: {orders_scans}"
 
 
 def test_filter_pushdown_reaches_scan(spark):
