@@ -21,6 +21,7 @@ from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
 from . import queries_media  # noqa: F401,E402
+from . import queries_training  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -75,6 +76,10 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_store_rollup",
     # round-3: real BMP/PPM pixel decode over synthesized payloads (ask #6)
     "media_features_real",
+    # round-3: training-pipeline ops (split/pack/leakage), oracle-checked
+    "dataset_split_assign",
+    "pack_sequences",
+    "split_leakage_check",
 ]
 
 

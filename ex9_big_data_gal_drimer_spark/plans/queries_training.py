@@ -1,0 +1,201 @@
+"""Training-data pipeline operators beyond the reference surface:
+deterministic dataset splitting, sequence packing, leakage detection.
+
+These are the operations a pretraining corpus pipeline runs after
+dedup/quality (queries_llm, queries_curation): assign every document a
+stable train/val/test split, pack documents into token-budget batches,
+and prove the splits don't leak content into each other.  All three
+are pure JVM expressions with ANSI-SQL oracles.
+
+Scale notes (100 TB): the split assignment is a stateless map over a
+content hash — no shuffle, no RNG, reproducible across reruns and
+engines (the property that matters when the corpus is rebuilt
+incrementally: a doc's split NEVER changes).  Packing windows
+partition by language, so state is bounded per partition; the leakage
+check is a fingerprint self-join — one shuffle on the hash, the same
+plan as exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from .registry import register
+
+#: First 8 hex chars of the md5 of the (trimmed) text → 32-bit int.
+#: Content-addressed, not id-addressed: re-ingesting the same document
+#: under a new id lands in the same split.
+_BUCKETS = 100
+
+
+def _split_bucket(text_col: str):
+    return (
+        F.conv(F.substring(F.md5(F.trim(F.col(text_col))), 1, 8), 16, 10)
+        .cast("long")
+        % _BUCKETS
+    )
+
+
+def _split_label(text_col: str):
+    b = _split_bucket(text_col)
+    return (
+        F.when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+    )
+
+
+_ORACLE_BUCKET = (
+    "CAST(('0x' || substring(md5(trim(text)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {_ORACLE_BUCKET} < 80 THEN 'train'
+                    WHEN {_ORACLE_BUCKET} < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from a content
+    hash (md5 prefix → bucket 0-99).  Stateless map — no shuffle until
+    the reporting groupBy, no RNG seed to version; both engines derive
+    the identical bucket from the identical bytes, which is exactly
+    the reproducibility contract a corpus rebuild needs."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(_split_label("text").alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               LENGTH(trim(text)) - LENGTH(REPLACE(trim(text), ' ', '')) + 1
+                   AS n_tokens
+        FROM documents
+    ), offsets AS (
+        SELECT lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_offset
+        FROM toks
+    )
+    SELECT lang,
+           CAST(tok_offset // 512 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM offsets
+    GROUP BY lang, batch_id
+    ORDER BY lang, batch_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for batch assembly: documents are laid out in a
+    stable order (doc_id) per language and cut into 512-token batches
+    by CUMULATIVE OFFSET — batch_id = floor(exclusive-prefix-sum /
+    budget).  One window per lang partition (bounded state, streams at
+    any scale), no driver loop; contrast with greedy bin-packing,
+    which is inherently sequential.  Batches may overhang the budget
+    by at most one document — the standard packing-with-overflow
+    layout pretraining loaders use."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.regexp_replace(F.trim(F.col("text")), " ", ""))
+        + 1
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.coalesce(F.sum(n_tokens).over(w), F.lit(0)).alias("offset"),
+    )
+    return (
+        offsets.select(
+            "lang",
+            F.floor(F.col("offset") / 512).cast("long").alias("batch_id"),
+            "n_tokens",
+        )
+        .groupBy("lang", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "batch_id")
+    )
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               CASE WHEN {_ORACLE_BUCKET} < 80 THEN 'train'
+                    WHEN {_ORACLE_BUCKET} < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), per_fp AS (
+        SELECT fingerprint,
+               COUNT(DISTINCT split) AS n_splits,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM assigned
+        GROUP BY fingerprint
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT)
+               AS n_leaked_texts,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_copies ELSE 0 END) AS BIGINT)
+               AS n_leaked_docs
+    FROM per_fp
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: a normalized-text fingerprint
+    that appears in MORE THAN ONE split is leakage (possible here only
+    via near-identical docs whose raw bytes hash to different buckets
+    but normalize to the same fingerprint — exactly the case that
+    poisons held-out evaluation).  One fingerprint groupBy (the exact-
+    dedup plan) + a global rollup; at 100 TB this runs as a by-product
+    of the dedup pass."""
+    docs = table(spark, sf_dir, "documents")
+    per_fp = (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+            _split_label("text").alias("split"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    leaked = F.when(F.col("n_splits") > 1, 1)
+    return per_fp.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.count(leaked).alias("n_leaked_texts"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_copies")).otherwise(0))
+        .cast("long")
+        .alias("n_leaked_docs"),
+    )
