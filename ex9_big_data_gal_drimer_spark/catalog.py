@@ -46,22 +46,29 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def normalize_nano_timestamps(
     df: DataFrame, cols: tuple[str, ...], ntz: bool = True
 ) -> DataFrame:
-    """Convert INT64-nano columns (surfaced as LongType) to timestamps.
-    Integer nano→micro division keeps full precision (a double
-    round-trip would lose it: 1.7e18 > 2^53).
+    """Normalize event-time columns across the testdata's parquet
+    encodings: INT64 TIMESTAMP(NANOS) surfaces as LongType (under
+    nanosAsLong) and is divided down to micros — integer division
+    keeps full precision (a double round-trip would lose it:
+    1.7e18 > 2^53); TIMESTAMP(MICROS) surfaces as timestamp_ntz
+    directly.
 
     ``ntz=True`` yields timestamp_ntz (matches how Spark reads the
     micro-precision columns in the other tables, and what the DuckDB
     oracle sees).  Streaming callers pass ``ntz=False``: event-time
-    watermarks require TIMESTAMP (LTZ) — equal wall-clock values under
-    the engine's fixed UTC session timezone.
+    watermarks require TIMESTAMP (LTZ), so ntz columns are cast over —
+    equal wall-clock values under the engine's fixed UTC session
+    timezone.
     """
     for col in cols:
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             expr = f"timestamp_micros({col} div 1000)"
             if ntz:
                 expr = f"CAST({expr} AS timestamp_ntz)"
             df = df.withColumn(col, F.expr(expr))
+        elif dtype == "timestamp_ntz" and not ntz:
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

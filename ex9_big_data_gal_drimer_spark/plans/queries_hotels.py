@@ -140,7 +140,10 @@ def _register_all() -> None:
     for name, plan in HOTEL_QUERIES.items():
 
         def fn(spark: SparkSession, sf_dir: str, _plan=plan) -> DataFrame:
-            return _plan(read_hotels_csv(spark, str(FIXTURE_PATH)))
+            # .cache(): six queries × repeated runs share ONE parse of
+            # the (unsplittable multiLine) CSV — CacheManager dedupes
+            # by plan, exactly like the testdata table caches.
+            return _plan(read_hotels_csv(spark, str(FIXTURE_PATH)).cache())
 
         fn.__name__ = name
         fn.__doc__ = plan.__doc__

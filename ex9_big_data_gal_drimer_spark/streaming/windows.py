@@ -30,9 +30,11 @@ def read_events_stream(
     with the same schema — everything downstream is source-agnostic).
 
     The directory must contain only events-shaped files.  The stream
-    uses the RAW file schema (events.ts is INT64-nanos → LongType under
-    nanosAsLong) and applies the same timestamp normalization as the
-    batch catalog afterwards.
+    uses the RAW file schema and applies the batch catalog's timestamp
+    normalization afterwards — events.ts has shipped both as INT64
+    TIMESTAMP(NANOS) (LongType under nanosAsLong) and TIMESTAMP(MICROS)
+    (timestamp_ntz) across testdata generations; either way the stream
+    needs TIMESTAMP (LTZ) for watermarks.
     """
     configure(spark)
     raw_schema = spark.read.parquet(events_dir).schema
