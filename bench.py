@@ -110,6 +110,7 @@ def main() -> int:
         "dedup_connected_components",
         "sketch_store_rollup",
         "knn_vectorized_cosine",
+        "bucketed_join_segment_revenue",
     }
 
     times: dict[str, float] = {}

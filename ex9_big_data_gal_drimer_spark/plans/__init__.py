@@ -22,6 +22,7 @@ from . import queries_curation  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
 from . import queries_media  # noqa: F401,E402
 from . import queries_training  # noqa: F401,E402
+from . import queries_bucketed  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -80,6 +81,9 @@ _DRIVER_PRIORITY: list[str] = [
     "dataset_split_assign",
     "pack_sequences",
     "split_leakage_check",
+    # round-3: 0-exchange bucketed join, oracle-checked through real
+    # bucketed tables
+    "bucketed_join_segment_revenue",
 ]
 
 

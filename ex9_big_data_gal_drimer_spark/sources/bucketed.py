@@ -31,14 +31,23 @@ def ingest_bucketed(
     num_buckets: int = 8,
     spec: dict[str, str] | None = None,
     database: str | None = None,
+    location: str | None = None,
 ) -> list[str]:
     """Write tables as bucketed+sorted managed tables; returns names.
 
-    Tables land in the session warehouse as `{name}_bucketed`.
+    Tables land in the session warehouse as `{name}_bucketed`, or in
+    ``database`` (created at ``location`` if given) — pass these when
+    the session's default warehouse directory shouldn't receive files
+    (e.g. a vanilla session whose warehouse is the cwd).
     """
+    prefix = ""
+    if database:
+        loc = f" LOCATION '{location}'" if location else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+        prefix = f"{database}."
     created = []
     for name, key in (spec or BUCKET_SPEC).items():
-        table_name = f"{name}_bucketed"
+        table_name = f"{prefix}{name}_bucketed"
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         (
             load_table(spark, sf_dir, name)
@@ -51,10 +60,11 @@ def ingest_bucketed(
     return created
 
 
-def bucketed_join(spark: SparkSession) -> DataFrame:
+def bucketed_join(spark: SparkSession, database: str | None = None) -> DataFrame:
     """orders⋈customer over the bucketed tables — shuffle-free when
     both sides share the bucket layout (verify with
     plans.audit.count_exchanges: 0 on the join inputs)."""
-    orders = spark.table("orders_bucketed")
-    customer = spark.table("customer_bucketed")
+    prefix = f"{database}." if database else ""
+    orders = spark.table(f"{prefix}orders_bucketed")
+    customer = spark.table(f"{prefix}customer_bucketed")
     return orders.join(customer, orders.o_custkey == customer.c_custkey)

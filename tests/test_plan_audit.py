@@ -57,6 +57,7 @@ ITERATIVE_OK = {
     "dedup_connected_components",
     "sketch_store_rollup",
     "knn_vectorized_cosine",
+    "bucketed_join_segment_revenue",
 }
 
 
