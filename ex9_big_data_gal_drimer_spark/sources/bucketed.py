@@ -14,6 +14,8 @@ spark.sql.bucketing.coalesceBucketsInJoin.enabled).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
@@ -49,6 +51,18 @@ def ingest_bucketed(
     for name, key in (spec or BUCKET_SPEC).items():
         table_name = f"{prefix}{name}_bucketed"
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        if location:
+            # A fresh session's in-memory catalog has no entry for the
+            # table, so the DROP above is a no-op — but the managed
+            # location on disk survives the previous process and
+            # saveAsTable refuses to reuse it (LOCATION_ALREADY_EXISTS).
+            # Wipe the physical dir to keep ingest idempotent across
+            # sessions.
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(location, f"{name}_bucketed"), ignore_errors=True
+            )
         (
             load_table(spark, sf_dir, name)
             .write.mode("overwrite")
