@@ -47,11 +47,29 @@ def _previous_bench(here: str) -> tuple[str, dict[str, float]] | None:
     if best is None:
         return None
     try:
+        # Prefer the committed full file for that round (exists from
+        # round 3 on); the driver's BENCH_r{N}.json keeps only a
+        # 2000-char stdout tail with "parsed": null when the JSON line
+        # was cut.
+        full = os.path.join(here, f"BENCH_FULL_r{best[0]:02d}.json")
+        if os.path.exists(full):
+            with open(full) as fh:
+                return os.path.basename(full), json.load(fh)["queries"]
         with open(best[1]) as fh:
             data = json.load(fh)
-        queries = data.get("queries") or data.get("parsed", {}).get("queries", {})
+        queries = data.get("queries") or (data.get("parsed") or {}).get(
+            "queries", {}
+        )
+        if not queries:
+            # Scrape "name": seconds pairs out of the stdout tail; the
+            # queries dict precedes the delta section, so the FIRST
+            # occurrence of a name is its absolute time.
+            for name, sec in re.findall(r'"(\w+)": (\d+\.\d+)', data.get("tail", "")):
+                if name not in queries and name not in ("sf", "value"):
+                    queries[name] = float(sec)
+            queries.pop("setup_seconds", None)
         return os.path.basename(best[1]), queries
-    except (OSError, json.JSONDecodeError):
+    except (OSError, json.JSONDecodeError, KeyError):
         return None
 
 
