@@ -84,6 +84,8 @@ _DRIVER_PRIORITY: list[str] = [
     # round-3: 0-exchange bucketed join, oracle-checked through real
     # bucketed tables
     "bucketed_join_segment_revenue",
+    # round-3: ANN recall-vs-exact monitoring row (rows-only)
+    "ann_recall_report",
 ]
 
 

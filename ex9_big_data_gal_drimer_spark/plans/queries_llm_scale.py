@@ -108,7 +108,64 @@ def knn_vectorized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_sq_cosine")
+@register("ann_recall_report")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evidencing ANN quality metric: recall@5 of each approximate
+    path (hyperplane-LSH, IVF, int8-SQ) against the exact brute-force
+    neighbors, computed IN the engine as a join-overlap ratio — the
+    property tests/test_scale_ops.py pins locally, surfaced as a
+    driver row (rows-only: the approximate sides are seeded-RNG
+    engine-specific).  At 100 TB this is the continuous-monitoring
+    query an ANN index ships with: ground truth on a small query
+    sample, one row per method."""
+    from ..operators.similarity import (
+        brute_force_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        sq_cosine_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "lsh": lsh_cosine_topk(emb, queries, dim=EMBEDDING_DIM, k=5),
+        "ivf": ivf_cosine_topk(
+            emb, queries, dim=EMBEDDING_DIM, k=5, num_centroids=8, nprobe=4
+        ),
+        "sq": sq_cosine_topk(emb, queries, k=5, rerank_factor=3),
+    }
+    # Denominator as a broadcast 1-row plan (J1 pattern) — an
+    # `exact.count()` here would launch a job during construction.
+    denom = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    reports = []
+    for name, approx in methods.items():
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        reports.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+            .crossJoin(F.broadcast(denom))
+            .select(
+                "method",
+                F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
 def knn_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #3: int8 scalar quantization + exact re-rank.
     Approximate scoring runs on per-vector symmetric int8

@@ -80,3 +80,21 @@ def test_seeded_sample_deterministic(spark, seed):
     b = sorted(r.k for r in seeded_sample_n(df, 50, seed=seed).collect())
     assert a == b
     assert len(a) == 50
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@SLOW
+def test_sorted_small_equals_orderby(spark, seed):
+    """sorted_small (coalesce(1) + within-partition sort) must yield
+    the exact sequence a global orderBy yields — it exists to skip the
+    range-partitioner sampling job, never to change results."""
+    import random
+
+    from ex9_big_data_gal_drimer_spark.operators.relational import sorted_small
+
+    rng = random.Random(seed)
+    rows = [(rng.randint(0, 5), rng.randint(-100, 100)) for _ in range(60)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    a = [tuple(r) for r in sorted_small(df, F.desc("v"), "k").collect()]
+    b = [tuple(r) for r in df.orderBy(F.desc("v"), "k").collect()]
+    assert a == b
