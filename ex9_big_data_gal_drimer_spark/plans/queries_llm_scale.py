@@ -170,6 +170,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("method")
+
+
+@register("knn_sq_cosine")
 def knn_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #3: int8 scalar quantization + exact re-rank.
     Approximate scoring runs on per-vector symmetric int8
