@@ -58,6 +58,30 @@ def quality_score(col: Column) -> Column:
     return F.round(0.4 * length_term + 0.3 * clean_term + 0.3 * stop_term, 4)
 
 
+def distinct_token_ratio(tokens_col: Column) -> Column:
+    """Type-token ratio: |distinct tokens| / |tokens| — the simplest
+    repetition signal (Gopher-style repetition filters gate on it;
+    word-salad spam scores low)."""
+    return F.when(
+        F.size(tokens_col) > 0,
+        F.size(F.array_distinct(tokens_col)).cast("double") / F.size(tokens_col),
+    )
+
+
+def dup_bigram_fraction(tokens_col: Column) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram
+    (1 - distinct/total).  NULL for docs under 2 tokens.  Pure array
+    expressions — computed map-side during the scan."""
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, 2)),
+    )
+    return F.when(
+        F.size(tokens_col) >= 2,
+        1.0 - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+    )
+
+
 def lang_id_train(
     labeled: DataFrame, text_col: str = "text", lang_col: str = "lang"
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from . import queries_stats  # noqa: F401,E402
 from . import queries_text3  # noqa: F401,E402
 from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
+from . import queries_curation2  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
 from . import queries_media  # noqa: F401,E402
 from . import queries_training  # noqa: F401,E402
@@ -86,6 +87,11 @@ _DRIVER_PRIORITY: list[str] = [
     "bucketed_join_segment_revenue",
     # round-3: ANN recall-vs-exact monitoring row (rows-only)
     "ann_recall_report",
+    # round-3: curation guardrails (PII scrub, repetition gate,
+    # train/eval decontamination), all oracle-checked
+    "pii_redaction_audit",
+    "doc_repetition_quality",
+    "decontaminate_against_eval",
 ]
 
 
