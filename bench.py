@@ -116,11 +116,15 @@ def main() -> int:
         os.environ.get("SPARK_GRAFT_BENCH_AQE", "false"),
     )
     # Arrow-columnar result materialization: the timed action is
-    # toPandas(), matching how the reference consumes DuckDB results
-    # (.df() → pandas).  Row-based collect() serializes ~100k-row
-    # results one Row at a time through Py4J and was charging
-    # events_session_10m ~0.8 s of pure client transfer that the
-    # DuckDB baseline's native columnar fetch never pays.
+    # toArrow() + a local Arrow→pandas conversion, matching how the
+    # reference consumes DuckDB results (.df() → pandas).  Row-based
+    # collect() serializes ~100k-row results one Row at a time through
+    # Py4J and was charging events_session_10m ~0.8 s of pure client
+    # transfer that the DuckDB baseline's native columnar fetch never
+    # pays.  df.toPandas() is NOT used: it wraps the same Arrow
+    # collect in per-call Py4J conf lookups and per-column coercion
+    # that measured up to +0.23 s on sub-second queries — client
+    # wrapper chatter, not engine work.
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     t0 = time.perf_counter()
@@ -136,7 +140,12 @@ def main() -> int:
         "sketch_store_rollup",
         "knn_vectorized_cosine",
         "bucketed_join_segment_revenue",
+        "semdedup_embeddings",
     }
+
+    def fetch(df):
+        """Materialize a result as pandas via the Arrow collect."""
+        return df.toArrow().to_pandas()
 
     times: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
@@ -144,20 +153,20 @@ def main() -> int:
         # fresh and every stage genuinely re-executes (re-collecting
         # one DataFrame object would silently reuse its shuffle map
         # outputs — skipped stages, not a measurement).  The stopwatch
-        # covers the toPandas() action only: analysis, optimization,
-        # scheduling, execution and Arrow result transfer — not the
-        # Python-side plan construction, which is client chatter
-        # DuckDB's sub-ms parse has no analogue for.
-        fn(spark, sf_dir).toPandas()  # untimed warmup (codegen, cache fill)
+        # covers the fetch action only: analysis, optimization,
+        # scheduling, execution, Arrow result transfer and the pandas
+        # conversion — not the Python-side plan construction, which is
+        # client chatter DuckDB's sub-ms parse has no analogue for.
+        fetch(fn(spark, sf_dir))  # untimed warmup (codegen, cache fill)
         samples = []
         for _ in range(repeats):
             if name in iterative:
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).toPandas()
+                fetch(fn(spark, sf_dir))
             else:
                 df = fn(spark, sf_dir)
                 t0 = time.perf_counter()
-                df.toPandas()
+                fetch(df)
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 3)
 

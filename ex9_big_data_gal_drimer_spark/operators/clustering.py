@@ -1,0 +1,138 @@
+"""Distributed k-means + SemDeDup-style semantic dedup (SURVEY.md
+§2.11 X3 extension).
+
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public literature)
+deduplicates a corpus by clustering embeddings and dropping
+near-identical pairs *within* clusters, so the quadratic pair work is
+bounded by cluster size instead of corpus size.  The same trained
+centroids also upgrade the IVF ANN index (operators/similarity.py):
+`kmeans_fit` returns the exact (centroid_id, cvec) schema
+`ivf_cosine_topk` consumes, making it the "swap in trained centroids"
+path its docstring promises.
+
+Execution model: Lloyd iterations as DataFrame jobs.  Assignment is a
+broadcast-argmax over the centroid table (map-side); the centroid
+update is one posexplode + map-side-combining average keyed on
+(cluster, dim position) — shuffle volume is O(n·dim) primitive rows,
+never vectors-to-one-node.  Centroid state (k×dim doubles) round-trips
+through the driver once per iteration: model-sized, like the
+connected-components convergence signature — NOT data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Lloyd's k-means with cosine assignment; returns the trained
+    centroid table as (centroid_id INT, cvec ARRAY<DOUBLE>).
+
+    Init is deterministic and data-driven without an RNG: the k
+    corpus vectors with the smallest xxhash64(id) — a seeded uniform
+    draw in expectation, reproducible across runs and partitionings
+    (TakeOrderedAndProject, no full sort).
+    """
+    spark = emb.sparkSession
+    init = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = spark.createDataFrame(
+        [(i, list(r[vec_col])) for i, r in enumerate(init)],
+        "centroid_id INT, cvec ARRAY<DOUBLE>",
+    )
+    for _ in range(n_iter):
+        assigned = assign_clusters(emb, centroids, id_col=id_col, vec_col=vec_col)
+        new_rows = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+            )
+            .collect()
+        )
+        # Empty clusters keep their previous centroid (standard Lloyd
+        # fallback) so the table stays k rows.
+        updated = {r["centroid_id"]: list(r["cvec"]) for r in new_rows}
+        prev = {r["centroid_id"]: list(r["cvec"]) for r in centroids.collect()}
+        centroids = spark.createDataFrame(
+            [(c, updated.get(c, prev[c])) for c in sorted(prev)],
+            "centroid_id INT, cvec ARRAY<DOUBLE>",
+        )
+    return centroids
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment: broadcast argmax,
+    carries the vector through for downstream pair work."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine_similarity(F.col(vec_col), F.col("cvec")).alias("__csim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("centroid_id", F.struct("__csim", F.col("centroid_id") * -1)).alias(
+            "centroid_id"
+        ),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def semdedup_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Within-cluster cosine pairs at or above `threshold` —
+    (cluster_id, id_a, id_b, cosine_sim) over `assign_clusters`
+    output.  A dedup pass drops id_b.
+
+    The cluster id is the blocking key: pair cost is quadratic only
+    within a cluster (the SemDeDup contract — k bounds the block
+    size), and the self-join is an equi-join on centroid_id, so
+    candidates co-locate by one hash shuffle.
+    """
+    par = assigned.sparkSession.sparkContext.defaultParallelism
+    a = assigned.repartition(par, F.col("centroid_id")).alias("a")
+    b = assigned.alias("b")
+    sim = F.round(
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), sim_scale
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.centroid_id").alias("cluster_id"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

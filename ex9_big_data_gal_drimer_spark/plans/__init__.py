@@ -20,6 +20,7 @@ from . import queries_text3  # noqa: F401,E402
 from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
 from . import queries_curation2  # noqa: F401,E402
+from . import queries_semdedup  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
 from . import queries_media  # noqa: F401,E402
 from . import queries_training  # noqa: F401,E402
@@ -92,6 +93,8 @@ _DRIVER_PRIORITY: list[str] = [
     "pii_redaction_audit",
     "doc_repetition_quality",
     "decontaminate_against_eval",
+    # round-3: SemDeDup k-means semantic dedup (rows-only; iterative)
+    "semdedup_embeddings",
 ]
 
 

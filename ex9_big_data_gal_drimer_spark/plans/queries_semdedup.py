@@ -1,0 +1,63 @@
+"""Semantic dedup over embeddings (SemDeDup pattern) — the learned-
+blocking complement to `dedup_embedding_cosine`'s label blocking.
+
+Rows-only registration: k-means assignment depends on iterative
+float averaging (not SQL-expressible without recursion), so the
+driver records the rows-only check; tests/test_clustering.py pins
+determinism of the row count, cluster-size accounting, and planted-
+cluster recovery on synthetic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.clustering import assign_clusters, kmeans_fit, semdedup_pairs
+from .registry import register
+
+
+@register("semdedup_embeddings")
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup summary: train k=8 centroids (3 Lloyd
+    iterations), assign the corpus, and report each cluster's size
+    plus its close-pair count (cosine ≥ 0.5) and tightest pair — the
+    monitoring row a semantic-dedup pass ships (this corpus plants no
+    true dups, so the pair columns surface the similarity structure
+    rather than a drop list; the plan is identical either way).
+
+    Scale: one broadcast-argmax pass per Lloyd iteration with a
+    model-sized (k×dim) driver round-trip; the pair stage is an
+    equi-join blocked on the learned cluster id.  The same trained
+    centroid table upgrades `knn_ivf_cosine` (identical schema) —
+    list purity from training is the first knob before raising
+    nprobe.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = kmeans_fit(emb, k=8, n_iter=3)
+    assigned = assign_clusters(emb, centroids).cache()
+    sizes = assigned.groupBy(F.col("centroid_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    pair_stats = (
+        semdedup_pairs(assigned, threshold=0.5)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_close_pairs"),
+            F.max("cosine_sim").alias("max_pair_sim"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        sizes.join(F.broadcast(pair_stats), "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.coalesce(F.col("n_close_pairs"), zero).alias("n_close_pairs"),
+            F.coalesce(F.col("max_pair_sim"), F.lit(0.0)).alias("max_pair_sim"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -58,6 +58,7 @@ ITERATIVE_OK = {
     "sketch_store_rollup",
     "knn_vectorized_cosine",
     "bucketed_join_segment_revenue",
+    "semdedup_embeddings",  # k-means fixpoint (model-sized collects)
 }
 
 
