@@ -141,6 +141,7 @@ def main() -> int:
         "knn_vectorized_cosine",
         "bucketed_join_segment_revenue",
         "semdedup_embeddings",
+        "knn_ivf_trained",
     }
 
     def fetch(df):

@@ -335,6 +335,7 @@ def ivf_cosine_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
     sim_scale: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate cosine top-k (the inverted-file ANN
     pattern, complementing the hyperplane-LSH variant).
@@ -353,10 +354,17 @@ def ivf_cosine_topk(
     clustered corpus (this testdata: true neighbors at cosine ~0.3)
     need nprobe ≈ num_centroids/2 for ~0.6 recall; production swaps in
     TRAINED (k-means) centroids — same plan, far better list purity —
-    and that is the first knob to turn before raising nprobe.
+    and that is the first knob to turn before raising nprobe.  Pass
+    `centroids` (centroid_id INT, cvec ARRAY<DOUBLE> — the
+    operators.clustering.kmeans_fit output) to use that trained path;
+    `num_centroids`/`seed` are ignored then.
     """
     spark = corpus.sparkSession
-    cents = _centroid_df(spark, dim, num_centroids, seed)
+    cents = (
+        centroids
+        if centroids is not None
+        else _centroid_df(spark, dim, num_centroids, seed)
+    )
 
     def assign(df: DataFrame, idc: str, vecc: str, n_best: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(

@@ -95,6 +95,8 @@ _DRIVER_PRIORITY: list[str] = [
     "decontaminate_against_eval",
     # round-3: SemDeDup k-means semantic dedup (rows-only; iterative)
     "semdedup_embeddings",
+    # round-3: IVF ANN over kmeans-trained centroids (rows-only)
+    "knn_ivf_trained",
 ]
 
 

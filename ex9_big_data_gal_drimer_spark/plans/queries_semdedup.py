@@ -18,6 +18,29 @@ from ..operators.clustering import assign_clusters, kmeans_fit, semdedup_pairs
 from .registry import register
 
 
+@register("knn_ivf_trained")
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2b: IVF ANN over TRAINED centroids — the
+    `knn_ivf_cosine` plan with `kmeans_fit` output swapped in for the
+    random spherical quantizer, delivering the "trained centroids,
+    same plan" upgrade its docstring promises.  List purity from
+    training raises recall at the same nprobe cost (pinned ≥ random
+    in tests/test_clustering.py).  Rows-only: iterative float
+    training is engine-specific."""
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    centroids = kmeans_fit(emb, k=8, n_iter=3)
+    return ivf_cosine_topk(
+        emb, queries, dim=64, k=5, nprobe=4, centroids=centroids
+    ).orderBy("query_id", "rnk")
+
+
 @register("semdedup_embeddings")
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster SemDeDup summary: train k=8 centroids (3 Lloyd
@@ -39,6 +62,11 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = kmeans_fit(emb, k=8, n_iter=3)
     assigned = assign_clusters(emb, centroids).cache()
+    # Fill the cache NOW (iterative-construction query): the final plan
+    # reads `assigned` three times (both self-join sides + sizes); an
+    # unfilled cache would recompute the assignment argmax per consumer
+    # within the first job.
+    assigned.count()
     sizes = assigned.groupBy(F.col("centroid_id").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )

@@ -85,6 +85,48 @@ def test_kmeans_improves_inertia(spark):
     assert sims[2] >= sims[1] - 1e-9
 
 
+def test_trained_ivf_recall_at_least_random(spark):
+    """Trained centroids must not lose recall vs the random spherical
+    quantizer at the same nprobe budget — the 'first knob' claim in
+    ivf_cosine_topk's docstring."""
+    from pyspark.sql import functions as F
+
+    from ex9_big_data_gal_drimer_spark.catalog import table
+    from ex9_big_data_gal_drimer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    trained = ivf_cosine_topk(
+        emb, queries, dim=64, k=5, nprobe=4, centroids=kmeans_fit(emb, k=8, n_iter=3)
+    ).collect()
+    random_c = ivf_cosine_topk(
+        emb, queries, dim=64, k=5, num_centroids=8, nprobe=4
+    ).collect()
+
+    def mean_recall(approx):
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [
+            len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        return sum(recalls) / len(recalls)
+
+    r_trained, r_random = mean_recall(trained), mean_recall(random_c)
+    assert r_trained >= r_random - 1e-9, f"trained {r_trained} < random {r_random}"
+
+
 def test_semdedup_query_schema_and_accounting(spark):
     df = QUERIES["semdedup_embeddings"](spark, SF_DIR)
     rows = df.collect()

@@ -59,6 +59,7 @@ ITERATIVE_OK = {
     "knn_vectorized_cosine",
     "bucketed_join_segment_revenue",
     "semdedup_embeddings",  # k-means fixpoint (model-sized collects)
+    "knn_ivf_trained",  # k-means fixpoint (model-sized collects)
 }
 
 
