@@ -142,6 +142,7 @@ def main() -> int:
         "bucketed_join_segment_revenue",
         "semdedup_embeddings",
         "knn_ivf_trained",
+        "partitioned_scan_pruning",
     }
 
     def fetch(df):

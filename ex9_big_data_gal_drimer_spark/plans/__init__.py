@@ -21,6 +21,7 @@ from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
 from . import queries_curation2  # noqa: F401,E402
 from . import queries_semdedup  # noqa: F401,E402
+from . import queries_layout  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
 from . import queries_media  # noqa: F401,E402
 from . import queries_training  # noqa: F401,E402
@@ -97,6 +98,8 @@ _DRIVER_PRIORITY: list[str] = [
     "semdedup_embeddings",
     # round-3: IVF ANN over kmeans-trained centroids (rows-only)
     "knn_ivf_trained",
+    # round-3: date-partitioned layout, pruning-checked vs full scan
+    "partitioned_scan_pruning",
 ]
 
 

@@ -56,6 +56,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     ]
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters lines of every file scan — partition-pruning
+    (data-skipping) evidence for directory-partitioned layouts."""
+    return [
+        line.split("PartitionFilters:")[1].strip()
+        for line in formatted_plan(df).splitlines()
+        if "PartitionFilters:" in line
+    ]
+
+
 def _subtree_has_aggregate(node) -> bool:
     if "Aggregate" in node.getClass().getSimpleName():
         return True

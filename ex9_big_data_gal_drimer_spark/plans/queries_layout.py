@@ -1,0 +1,49 @@
+"""Driver-visible partition-pruned scan (SURVEY.md §4 data skipping).
+
+Like the bucketed join, the layout write happens at plan construction
+(tmp-backed path, idempotent overwrite); the oracle recomputes the
+same window straight from the unpartitioned table, so the pruned
+layout must be value-identical to a full scan + filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.layout import PART_COL, ingest_partitioned, read_partitioned
+from .registry import register
+
+
+@register(
+    "partitioned_scan_pruning",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue for 1996 H1 read from the date-partitioned
+    layout: the month predicate is a PARTITION filter, so the scan
+    touches 6 of ~84 directories and skips the rest entirely — the
+    time-window data-skipping a 100 TB fact table depends on
+    (tests/test_layout.py pins PartitionFilters in the plan and the
+    value parity vs the full-scan oracle here)."""
+    path = ingest_partitioned(spark, sf_dir)
+    li = read_partitioned(spark, path)
+    return (
+        li.filter(F.col(PART_COL).between("1996-01", "1996-06"))
+        .groupBy(F.col(PART_COL).alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )

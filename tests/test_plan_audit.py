@@ -60,6 +60,7 @@ ITERATIVE_OK = {
     "bucketed_join_segment_revenue",
     "semdedup_embeddings",  # k-means fixpoint (model-sized collects)
     "knn_ivf_trained",  # k-means fixpoint (model-sized collects)
+    "partitioned_scan_pruning",  # layout write at construction
 }
 
 
