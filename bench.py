@@ -135,15 +135,9 @@ def main() -> int:
     # CONSTRUCTION (fixpoint loops, sketch-store writes, the
     # vectorized top-k's query-vector collect); excluding construction
     # from their timing would hide the real work.
-    iterative = {
-        "dedup_connected_components",
-        "sketch_store_rollup",
-        "knn_vectorized_cosine",
-        "bucketed_join_segment_revenue",
-        "semdedup_embeddings",
-        "knn_ivf_trained",
-        "partitioned_scan_pruning",
-    }
+    from ex9_big_data_gal_drimer_spark.plans.registry import (
+        ITERATIVE_CONSTRUCTION as iterative,
+    )
 
     def fetch(df):
         """Materialize a result as pandas via the Arrow collect."""

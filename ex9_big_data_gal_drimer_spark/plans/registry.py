@@ -23,6 +23,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Queries that run Spark actions during plan CONSTRUCTION by
+#: documented design (fixpoint loops, persisted-state writes,
+#: model-sized collects).  Single source of truth for bench.py
+#: (times construction too) and tests/test_plan_audit.py (exempt
+#: from the lazy-construction pin).
+ITERATIVE_CONSTRUCTION: set[str] = {
+    "dedup_connected_components",
+    "sketch_store_rollup",
+    "knn_vectorized_cosine",
+    "bucketed_join_segment_revenue",
+    "semdedup_embeddings",
+    "knn_ivf_trained",
+    "partitioned_scan_pruning",
+}
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query (and its DuckDB oracle SQL) to the registry."""

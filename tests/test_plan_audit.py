@@ -53,15 +53,9 @@ def test_unpartitioned_windows_only_above_aggregates(name, spark):
 #: the CC fixpoint loop, the sketch-store parquet write, and the
 #: vectorized top-k's 10-row query-vector collect (ships in the task
 #: closure).  bench.py times these including construction.
-ITERATIVE_OK = {
-    "dedup_connected_components",
-    "sketch_store_rollup",
-    "knn_vectorized_cosine",
-    "bucketed_join_segment_revenue",
-    "semdedup_embeddings",  # k-means fixpoint (model-sized collects)
-    "knn_ivf_trained",  # k-means fixpoint (model-sized collects)
-    "partitioned_scan_pruning",  # layout write at construction
-}
+from ex9_big_data_gal_drimer_spark.plans.registry import (  # noqa: E402
+    ITERATIVE_CONSTRUCTION as ITERATIVE_OK,
+)
 
 
 def test_no_action_during_query_construction(spark):
