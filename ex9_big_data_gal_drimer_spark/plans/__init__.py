@@ -100,6 +100,8 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_ivf_trained",
     # round-3: date-partitioned layout, pruning-checked vs full scan
     "partitioned_scan_pruning",
+    # round-3: ordered three-step conversion funnel, oracle-checked
+    "funnel_view_click_purchase",
 ]
 
 

@@ -258,3 +258,102 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(100)
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0
+                 / (SELECT COUNT(*) FROM v), 4) AS view_to_click_rate,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM c), 4) AS click_to_purchase_rate,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(DISTINCT user_id) FROM events), 4)
+               AS overall_conversion
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step conversion funnel: first view → first click within
+    1 day after it → first purchase within 1 day after that click,
+    per user; one summary
+    row of step counts and conversion rates.  The ORDER constraint is
+    what distinguishes a funnel from three filters — each step's
+    timestamp must exceed the previous step's, so step N is a
+    min-aggregate over events later than step N-1's min.
+
+    Plan shape: three equi-joins on user_id, each input pre-filtered
+    to ONE event type (the filter pushes to the scan), each stage a
+    map-side-combining min-aggregate; step outputs are user-level (≤
+    |users| rows) and broadcast forward.  The five 1-row totals attach
+    via broadcast cross joins (J1) — no shuffle is ever wider than
+    distinct users.  At 100 TB this is the standard cascading-funnel
+    plan: each step's input shrinks monotonically.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    one = lambda df, name: F.broadcast(df.agg(F.count(F.lit(1)).alias(name)))  # noqa: E731
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(one(v, "n_viewed"))
+        .crossJoin(one(c, "n_clicked_after_view"))
+        .crossJoin(one(p, "n_purchased_after_click"))
+        .select(
+            "n_users",
+            "n_viewed",
+            "n_clicked_after_view",
+            "n_purchased_after_click",
+            F.round(F.col("n_clicked_after_view") / F.col("n_viewed"), 4).alias(
+                "view_to_click_rate"
+            ),
+            F.round(
+                F.col("n_purchased_after_click") / F.col("n_clicked_after_view"), 4
+            ).alias("click_to_purchase_rate"),
+            F.round(F.col("n_purchased_after_click") / F.col("n_users"), 4).alias(
+                "overall_conversion"
+            ),
+        )
+    )
