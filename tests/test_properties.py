@@ -98,3 +98,62 @@ def test_sorted_small_equals_orderby(spark, seed):
     a = [tuple(r) for r in sorted_small(df, F.desc("v"), "k").collect()]
     b = [tuple(r) for r in df.orderBy(F.desc("v"), "k").collect()]
     assert a == b
+
+
+# --- PII redaction invariants (operators/privacy.py) ---------------------
+
+pii_texts = st.lists(
+    st.tuples(
+        st.text(alphabet="abc xyz.", min_size=0, max_size=12),
+        st.sampled_from([
+            "",
+            "bob@example.com",
+            "x.y+z@mail-host.org",
+            "+1-555-0142",
+            "+44 201 7000",
+            "not-an-email@",
+            "+1-55-01",
+        ]),
+        st.text(alphabet="abc xyz.", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(rows=pii_texts)
+@SLOW
+def test_redact_pii_is_complete_and_idempotent(spark, rows):
+    """After one redaction pass, detection finds nothing (complete),
+    and a second pass is a no-op (idempotent) — the two invariants a
+    scrub must hold at any corpus size."""
+    from ex9_big_data_gal_drimer_spark.operators.privacy import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(a + " " + m + " " + b,) for a, m, b in rows], "t string"
+    )
+    once = df.select(redact_pii(F.col("t")).alias("c"))
+    n_email, n_phone = pii_counts(F.col("c"))
+    residual = once.agg(F.sum(n_email + n_phone)).first()[0]
+    assert residual == 0
+    twice = once.select(redact_pii(F.col("c")).alias("c"))
+    assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+
+
+@given(rows=pii_texts)
+@SLOW
+def test_redact_pii_preserves_clean_text(spark, rows):
+    """Rows with no PII pass through byte-identical."""
+    from ex9_big_data_gal_drimer_spark.operators.privacy import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(a,) for a, _, _ in rows], "t string")
+    n_email, n_phone = pii_counts(F.col("t"))
+    clean = df.filter((n_email + n_phone) == 0)
+    out = clean.select("t", redact_pii(F.col("t")).alias("c")).collect()
+    assert all(r["t"] == r["c"] for r in out)
