@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Pre-flight the driver correctness gate before the driver runs it.
+
+Simulates the gate exactly: a VANILLA SparkSession (no engine confs —
+queries must self-configure via session.configure), the FIRST 50
+registered queries at sf0.01, each compared against its DuckDB oracle
+with driver semantics (column-name-sorted tuples, sorted rows,
+None-safe ordering, tight float tolerance).  Rows-only queries are
+executed and reported with their row counts.
+
+Usage: python tools/preflight.py [sf_dir] [n_window]
+Exit code 0 = every oracle query in the window matches.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, ".")
+from ex9_big_data_gal_drimer_spark.catalog import TABLES  # noqa: E402
+
+
+def _sort_key(row: tuple) -> tuple:
+    return tuple((v is None, str(v)) for v in row)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_window = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    spark = SparkSession.builder.master("local[8]").appName("preflight").getOrCreate()
+    import __spark_entry__ as entry_mod
+
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    fails = []
+    for name in list(queries)[:n_window]:
+        try:
+            sdf = queries[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"  rows-only {name}: {len(srows)} rows")
+                continue
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            if sorted(sdf.columns) != sorted(ocols):
+                fails.append((name, f"schema {sdf.columns} vs {ocols}"))
+                continue
+            sidx = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+            oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            s = sorted((tuple(r[i] for i in sidx) for r in srows), key=_sort_key)
+            o = sorted((tuple(r[i] for i in oidx) for r in orows), key=_sort_key)
+            if len(s) != len(o):
+                fails.append((name, f"rows {len(s)} vs {len(o)}"))
+                continue
+            bad = [
+                (x, y)
+                for x, y in zip(s, o)
+                if not all(_values_equal(a, b) for a, b in zip(x, y))
+            ]
+            if bad:
+                fails.append((name, f"values e.g. {bad[0]}"))
+            else:
+                print(f"  ok        {name}: {len(s)} rows")
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            fails.append((name, f"error {str(ex)[:200]}"))
+
+    spark.stop()
+    print(f"\n{len(fails)} failures")
+    for name, why in fails:
+        print(f"  FAIL {name}: {why}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
