@@ -160,3 +160,85 @@ def sketch_store_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("month")
         .limit(24)
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           ROUND(arg_min(value, ts), 2) AS open_value,
+           ROUND(MAX(value), 2) AS high_value,
+           ROUND(MIN(value), 2) AS low_value,
+           ROUND(arg_max(value, ts), 2) AS close_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    LIMIT 200
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style gauge rollup: first/last/min/max value per hour per
+    event type — the canonical telemetry downsample (metrics stores
+    emit exactly this shape).  first/last are ONE hash aggregate via
+    min_by/max_by (arg_min/arg_max) on the event time: no window
+    function, no per-group sort, map-side combining — the same
+    single-shuffle plan at any scale.  Tie safety: events.ts is unique
+    per (type, hour) in this corpus; a production rollup would
+    tie-break on a unique event id.
+    """
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open_value"),
+            F.round(F.max("value"), 2).alias("high_value"),
+            F.round(F.min("value"), 2).alias("low_value"),
+            F.round(F.max_by("value", "ts"), 2).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+        .limit(200)
+    )
+
+
+@register("quantiles_approx_scale_variant")
+def quantiles_approx_scale_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of `order_price_quantiles`: percentile_approx
+    (mergeable KLL-style sketch, single pass, map-side combining) next
+    to the exact percentile — rows-only (sketch error is
+    engine-specific).  At scale the exact form's full sort per group is
+    the bottleneck; the approx form replaces it wherever ~1% rank error
+    is acceptable, and the accuracy parameter (10000 here) is the
+    error/memory knob.  The relative-error columns self-evidence the
+    sketch quality against the exact values in the same row.
+    """
+    orders = table(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    exact = F.expr(
+        "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))"
+    ).alias("exact_q")
+    approx = F.percentile_approx(
+        "o_totalprice", [float(q) for q in qs], 10000
+    ).alias("approx_q")
+    per_priority = orders.groupBy("o_orderpriority").agg(exact, approx)
+    rel_err = F.transform(
+        F.arrays_zip("exact_q", "approx_q"),
+        lambda z: F.round(F.abs(z["approx_q"] - z["exact_q"]) / z["exact_q"], 6),
+    )
+    return per_priority.select(
+        "o_orderpriority",
+        F.transform("exact_q", lambda x: F.round(x, 2)).alias("exact_q"),
+        F.transform("approx_q", lambda x: F.round(x, 2)).alias("approx_q"),
+        rel_err.alias("rel_err"),
+    ).orderBy("o_orderpriority")
