@@ -1,0 +1,85 @@
+"""PNG container walk as a Python UDTF (SURVEY.md §2.10 UDF tier).
+
+Completes the Python-execution tier: scalar ``pandas_udf`` (X5 dims),
+grouped-map ``applyInPandas`` (resample), ``mapInPandas`` (features,
+vectorized top-k), ``applyInPandasWithState`` (streaming TTL) — and
+here a **table function**: one input row fans out into a variable
+number of typed output rows.  That shape (iterate a container format's
+internal structure, emit a row per element) has no column-expression
+form: the chunk count, offsets and lengths are data-dependent, so the
+walk is inherently imperative.  The same pattern covers video
+frame-sampling and audio packet walks — PNG chunks are the
+container-structure stand-in this testdata can synthesize.
+
+Scale shape: a UDTF is applied with ``lateralJoin``/TVF over the
+payload table; rows fan out inside the Python worker, partition by
+partition — no driver involvement, no shuffle added by the fan-out
+itself.  Arrow transfer is enabled via
+``spark.sql.execution.pythonUDTF.arrow.enabled`` (session.PLAN_CONF
+leaves it to the caller; the registered query sets it).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql.functions import udtf
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, seed_bytes: bytes) -> bytes:
+    """Deterministic minimal spec-conformant PNG: IHDR + one IDAT
+    (zlib-compressed grayscale scanlines tiled from seed_bytes) + IEND,
+    every chunk with a correct CRC-32."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    body_len = height * (1 + width)  # filter byte + row of grayscale
+    seed = seed_bytes or b"\x00"
+    raw = (seed * (body_len // len(seed) + 1))[:body_len]
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 1))
+        + chunk(b"IEND", b"")
+    )
+
+
+@udtf(
+    returnType="chunk_index int, chunk_type string, data_len int, "
+    "crc_ok boolean, truncated boolean"
+)
+class PngChunkWalk:
+    """Emit one row per PNG chunk of a payload; non-PNG payloads emit
+    nothing.  ``truncated`` marks a chunk whose declared length runs
+    past the buffer (corrupt file) — the walk stops there, which is the
+    audit signal a media-ingest pipeline wants."""
+
+    def eval(self, payload):  # noqa: D102 — UDTF contract method
+        if payload is None or not bytes(payload).startswith(PNG_SIG):
+            return
+        buf = bytes(payload)
+        pos, index = len(PNG_SIG), 0
+        while pos + 8 <= len(buf):
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            ctype = buf[pos + 4 : pos + 8]
+            data_end = pos + 8 + length
+            if data_end + 4 > len(buf):
+                yield (index, ctype.decode("latin-1"), length, False, True)
+                return
+            data = buf[pos + 8 : data_end]
+            (crc,) = struct.unpack(">I", buf[data_end : data_end + 4])
+            crc_ok = crc == (zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            yield (index, ctype.decode("latin-1"), length, crc_ok, False)
+            if ctype == b"IEND":
+                return
+            pos, index = data_end + 4, index + 1

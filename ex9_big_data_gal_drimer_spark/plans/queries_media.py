@@ -59,3 +59,56 @@ def media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.transform("features", lambda x: F.round(x, 6)).alias("features"),
     ).orderBy("media_id")
+
+
+def _text_to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..operators.udtf_media import make_png
+
+    for pdf in batches:
+        payloads = [
+            make_png(8, 8, (t or " ").encode("utf-8", "replace"))
+            for t in pdf["text"]
+        ]
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("media_png_chunk_audit")
+def media_png_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 container-structure audit via a Python UDTF (the table-
+    function tier of the UDF surface): walk every synthesized PNG's
+    chunk list (LATERAL fan-out, one output row per chunk) and roll up
+    per chunk type — count, payload bytes, CRC validity, truncation.
+    This is the integrity pass a media-ingest pipeline runs before
+    decode; rows-only (DuckDB cannot synthesize or walk PNGs).
+
+    Scale shape: payload synthesis and the UDTF both run inside
+    Python workers over Arrow batches
+    (spark.sql.execution.pythonUDTF.arrow.enabled), partition-local;
+    the only shuffle is the final per-type rollup of primitive rows.
+    """
+    import os
+
+    from ..operators.udtf_media import PngChunkWalk
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    media = docs.mapInPandas(_text_to_png, "media_id long, payload binary")
+    view = f"png_media_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    media.createOrReplaceTempView(view)
+    spark.udtf.register("png_chunk_walk", PngChunkWalk)
+    return spark.sql(
+        f"""
+        SELECT c.chunk_type,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(c.data_len) AS BIGINT) AS total_data_bytes,
+               COUNT(CASE WHEN c.crc_ok THEN 1 END) AS n_crc_ok,
+               COUNT(CASE WHEN c.truncated THEN 1 END) AS n_truncated
+        FROM {view}, LATERAL png_chunk_walk(payload) c
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )
