@@ -78,6 +78,33 @@ def kmeans_fit(
     return as_df()
 
 
+def kmeans_fit_or_load(
+    emb: DataFrame,
+    store_path: str,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Load the trained centroid table from `store_path` if present,
+    else fit and persist it there — the train-once-serve-many contract
+    a production ANN index runs under (the model analogue of the
+    sketch store: persisted state consulted by later sessions instead
+    of recomputed).  The store is a tiny parquet (k rows); a schema
+    mismatch or unreadable store falls back to a fresh fit+write.
+    """
+    spark = emb.sparkSession
+    try:
+        stored = spark.read.parquet(store_path)
+        if set(stored.columns) == {"centroid_id", "cvec"}:
+            return stored
+    except Exception:
+        pass
+    centroids = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    centroids.write.mode("overwrite").parquet(store_path)
+    return spark.read.parquet(store_path)
+
+
 def assign_clusters(
     emb: DataFrame,
     centroids: DataFrame,

@@ -41,6 +41,38 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+@register("knn_ivf_model_store")
+def knn_ivf_model_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 model-registry path: IVF ANN served from a PERSISTED
+    centroid table (kmeans_fit_or_load) — train once, write the k-row
+    model parquet, every later session loads it instead of retraining.
+    Same probe plan as knn_ivf_trained; the difference is the state
+    contract (`knn_ivf_trained` times train+serve, this row times
+    load+serve after the first fit — both are real deployment points).
+    Rows-only; model-identity and result-equality pinned by
+    tests/test_clustering.py."""
+    import os
+    import tempfile
+
+    from ..operators.clustering import kmeans_fit_or_load
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"ex9_kmeans_model_{sf_tag}_k8_i3"
+    )
+    centroids = kmeans_fit_or_load(emb, store, k=8, n_iter=3)
+    return ivf_cosine_topk(
+        emb, queries, dim=64, k=5, nprobe=4, centroids=centroids
+    ).orderBy("query_id", "rnk")
+
+
 @register("semdedup_embeddings")
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster SemDeDup summary: train k=8 centroids (3 Lloyd

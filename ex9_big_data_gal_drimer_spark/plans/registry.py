@@ -35,6 +35,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "bucketed_join_segment_revenue",
     "semdedup_embeddings",
     "knn_ivf_trained",
+    "knn_ivf_model_store",
     "partitioned_scan_pruning",
 }
 

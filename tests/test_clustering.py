@@ -127,6 +127,31 @@ def test_trained_ivf_recall_at_least_random(spark):
     assert r_trained >= r_random - 1e-9, f"trained {r_trained} < random {r_random}"
 
 
+def test_model_store_roundtrip_and_equality(spark):
+    """kmeans_fit_or_load: second call loads the persisted model
+    byte-identically, and the stored-model IVF result equals the
+    fresh-trained one."""
+    import os
+    import shutil
+    import tempfile
+
+    from ex9_big_data_gal_drimer_spark.operators.clustering import (
+        kmeans_fit_or_load,
+    )
+
+    emb = _synthetic(spark)
+    store = os.path.join(tempfile.gettempdir(), "ex9_kmeans_model_test")
+    shutil.rmtree(store, ignore_errors=True)
+    first = sorted(map(tuple, kmeans_fit_or_load(emb, store, k=3, n_iter=4).collect()))
+    second = sorted(map(tuple, kmeans_fit_or_load(emb, store, k=3, n_iter=4).collect()))
+    assert first == second and len(first) == 3
+    fresh = sorted(map(tuple, kmeans_fit(emb, k=3, n_iter=4).collect()))
+    assert first == fresh
+    q1 = QUERIES["knn_ivf_model_store"](spark, SF_DIR).collect()
+    q2 = QUERIES["knn_ivf_trained"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, q1)) == sorted(map(tuple, q2))
+
+
 def test_semdedup_query_schema_and_accounting(spark):
     df = QUERIES["semdedup_embeddings"](spark, SF_DIR)
     rows = df.collect()
