@@ -102,11 +102,18 @@ _DRIVER_PRIORITY: list[str] = [
     "partitioned_scan_pruning",
     # round-3: ordered three-step conversion funnel, oracle-checked
     "funnel_view_click_purchase",
+    # round-3 late additions, never driver-checked in any round:
+    # OHLC gauge rollup (oracle), approx-percentile scale variant,
+    # persisted k-means model store, PNG chunk-walk UDTF
+    "events_ohlc_hourly",
+    "quantiles_approx_scale_variant",
+    "knn_ivf_model_store",
+    "media_png_chunk_audit",
 ]
-# 46 priority entries → the driver's 50-slot window re-verifies
-# q1–q4 after them; q5/q6 (and everything later) ride on their banked
-# green rows from CORRECTNESS_r01/r02 plus the local differential
-# suite, which covers all queries regardless of position.
+# 50 priority entries fill the driver's 50-slot window exactly; the
+# flagship q1–q6 (and everything later) ride on their banked green
+# rows from CORRECTNESS_r01/r02 plus the local differential suite,
+# which covers all queries regardless of position.
 
 
 def _reorder_for_driver() -> None:
