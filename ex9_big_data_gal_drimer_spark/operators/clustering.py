@@ -11,20 +11,76 @@ centroids also upgrade the IVF ANN index (operators/similarity.py):
 path its docstring promises.
 
 Execution model: Lloyd iterations as DataFrame jobs.  Assignment is a
-broadcast-argmax over the centroid table (map-side); the centroid
-update is one posexplode + map-side-combining average keyed on
-(cluster, dim position) — shuffle volume is O(n·dim) primitive rows,
-never vectors-to-one-node.  Centroid state (k×dim doubles) round-trips
-through the driver once per iteration: model-sized, like the
-connected-components convergence signature — NOT data-sized.
+ZERO-SHUFFLE map-side expression: the model is k×dim doubles (driver-
+sized by definition — it round-trips through the driver every Lloyd
+iteration anyway), so the centroids are inlined as literal arrays and
+the per-row argmax is `array_position(sims, array_max(sims))` inside
+whole-stage codegen.  No crossJoin row blow-up, no groupBy(id)
+re-shuffle of the corpus — the pre-round-3 form paid one k×n shuffle
+per assignment pass.  The centroid update is one posexplode +
+map-side-combining average keyed on (cluster, dim position) — shuffle
+volume is O(k·dim) post-combine, never vectors-to-one-node.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity
+
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a (centroid_id, cvec) table to driver model state —
+    k rows by contract, the same size the Lloyd loop already holds."""
+    return sorted(
+        (r["centroid_id"], list(r["cvec"])) for r in centroids.collect()
+    )
+
+
+def _scaled_sims(vec: Column, rows: list[tuple[int, list[float]]]) -> Column:
+    """Array of per-centroid `dot(v, c)/|c|` — cosine scaled by the
+    row-constant |v|, which cannot change any per-row argmax or
+    ordering, so the |v| fold is dropped from the hot expression.
+    The |c| norms are plain Python floats (model-side)."""
+    import math
+
+    sims = []
+    for _, cvec in rows:
+        nc = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        lit = F.array(*[F.lit(float(x) / nc) for x in cvec])
+        sims.append(
+            F.aggregate(
+                F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*sims)
+
+
+def nearest_centroid_expr(
+    vec: Column, rows: list[tuple[int, list[float]]]
+) -> Column:
+    """Map-side nearest-centroid id (max cosine; ties → smallest id —
+    `array_position` returns the FIRST maximum and `rows` is
+    id-sorted, matching the old `max_by(struct(sim, -id))` break)."""
+    sims = _scaled_sims(vec, rows)
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in rows])
+    return F.element_at(ids, F.array_position(sims, F.array_max(sims)).cast("int"))
+
+
+def top_centroids_expr(
+    vec: Column, rows: list[tuple[int, list[float]]], n_best: int
+) -> Column:
+    """Map-side array of the `n_best` nearest centroid ids (desc
+    cosine, ties → smallest id), for multi-probe assignment."""
+    sims = _scaled_sims(vec, rows)
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in rows])
+    ranked = F.array_sort(
+        F.zip_with(
+            sims, ids, lambda s, i: F.struct((-s).alias("ns"), i.alias("cid"))
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_best), lambda t: t["cid"])
 
 
 def kmeans_fit(
@@ -59,7 +115,14 @@ def kmeans_fit(
         )
 
     for _ in range(n_iter):
-        assigned = assign_clusters(emb, as_df(), id_col=id_col, vec_col=vec_col)
+        # Assignment straight from the Python model state: no
+        # createDataFrame/collect round-trip mid-loop, map-only plan.
+        rows = sorted((cid, v) for cid, v in state.items())
+        assigned = emb.select(
+            id_col,
+            vec_col,
+            nearest_centroid_expr(F.col(vec_col), rows).alias("centroid_id"),
+        )
         new_rows = (
             assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("centroid_id", "pos")
@@ -111,19 +174,17 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """Nearest-centroid (max cosine) assignment: broadcast argmax,
-    carries the vector through for downstream pair work."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    """Nearest-centroid (max cosine) assignment as a ZERO-SHUFFLE
+    projection: the k-row centroid table is collected to driver model
+    state (it is the model — k×dim doubles) and inlined as a literal,
+    so assignment runs entirely inside whole-stage codegen with no
+    crossJoin blow-up and no groupBy(id) re-shuffle of the corpus.
+    Carries the vector through for downstream pair work."""
+    rows = _centroid_rows(centroids)
+    return emb.select(
         id_col,
+        nearest_centroid_expr(F.col(vec_col), rows).alias("centroid_id"),
         vec_col,
-        "centroid_id",
-        cosine_similarity(F.col(vec_col), F.col("cvec")).alias("__csim"),
-    )
-    return scored.groupBy(id_col).agg(
-        F.max_by("centroid_id", F.struct("__csim", F.col("centroid_id") * -1)).alias(
-            "centroid_id"
-        ),
-        F.first(vec_col).alias(vec_col),
     )
 
 

@@ -359,38 +359,33 @@ def ivf_cosine_topk(
     operators.clustering.kmeans_fit output) to use that trained path;
     `num_centroids`/`seed` are ignored then.
     """
+    from .clustering import (
+        _centroid_rows,
+        nearest_centroid_expr,
+        top_centroids_expr,
+    )
+
     spark = corpus.sparkSession
     cents = (
         centroids
         if centroids is not None
         else _centroid_df(spark, dim, num_centroids, seed)
     )
+    # The quantizer is the MODEL — k×dim doubles, driver-sized by
+    # contract — so assignment is a zero-shuffle literal-argmax
+    # projection (see operators/clustering.py): no crossJoin row
+    # blow-up, no per-id groupBy/window re-shuffle of the corpus.
+    cent_rows = _centroid_rows(cents)
 
-    def assign(df: DataFrame, idc: str, vecc: str, n_best: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            idc,
-            F.col("centroid_id"),
-            cosine_similarity(F.col(vecc), F.col("cvec")).alias("__csim"),
-        )
-        if n_best == 1:
-            return scored.groupBy(idc).agg(
-                F.max_by("centroid_id", "__csim").alias("centroid_id")
-            )
-        w = Window.partitionBy(idc).orderBy(F.desc("__csim"), "centroid_id")
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n_best)
-            .select(idc, "centroid_id")
-        )
-
-    corpus_lists = assign(corpus, id_col, vec_col, 1)
-    query_probes = assign(
-        queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
-        ),
-        "__qid",
-        "__qv",
-        nprobe,
+    corpus_lists = corpus.select(
+        id_col,
+        nearest_centroid_expr(F.col(vec_col), cent_rows).alias("centroid_id"),
+    )
+    query_probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(
+            top_centroids_expr(F.col(query_vec_col), cent_rows, nprobe)
+        ).alias("centroid_id"),
     )
 
     cand_ids = (
