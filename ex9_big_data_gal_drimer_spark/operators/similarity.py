@@ -359,11 +359,7 @@ def ivf_cosine_topk(
     operators.clustering.kmeans_fit output) to use that trained path;
     `num_centroids`/`seed` are ignored then.
     """
-    from .clustering import (
-        _centroid_rows,
-        nearest_centroid_expr,
-        top_centroids_expr,
-    )
+    from .clustering import _centroid_rows, assign_ids
 
     spark = corpus.sparkSession
     cents = (
@@ -372,20 +368,21 @@ def ivf_cosine_topk(
         else _centroid_df(spark, dim, num_centroids, seed)
     )
     # The quantizer is the MODEL — k×dim doubles, driver-sized by
-    # contract — so assignment is a zero-shuffle literal-argmax
-    # projection (see operators/clustering.py): no crossJoin row
-    # blow-up, no per-id groupBy/window re-shuffle of the corpus.
+    # contract — so assignment is a zero-shuffle Arrow-vectorized
+    # argmax pass (operators/clustering.py::assign_ids): no crossJoin
+    # row blow-up, no per-id groupBy/window re-shuffle of the corpus.
     cent_rows = _centroid_rows(cents)
 
-    corpus_lists = corpus.select(
-        id_col,
-        nearest_centroid_expr(F.col(vec_col), cent_rows).alias("centroid_id"),
-    )
-    query_probes = queries.select(
-        F.col(query_id_col).alias("__qid"),
-        F.explode(
-            top_centroids_expr(F.col(query_vec_col), cent_rows, nprobe)
-        ).alias("centroid_id"),
+    corpus_lists = assign_ids(corpus, cent_rows, id_col, vec_col, 1)
+    query_probes = assign_ids(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qv"),
+        ),
+        cent_rows,
+        "__qid",
+        "__qv",
+        nprobe,
     )
 
     cand_ids = (
