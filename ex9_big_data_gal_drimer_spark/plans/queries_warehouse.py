@@ -1,0 +1,301 @@
+"""Warehouse-maintenance + profiling queries: CDC merge, SCD2
+history, one-pass column profiling, co-occurrence mining, exact
+histograms.
+
+These extend the reference's append-only materialization pipeline
+(reference main.py:150-220 only ever CTAS-overwrites) with the
+mutation and data-understanding operations a long-lived 100 TB
+warehouse needs; each is expressed as a single declarative plan with
+a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import register
+
+
+@register(
+    "cdc_merge_customers",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey AS c_custkey,
+               CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+               ROUND(SUM(o_totalprice), 2) AS new_acctbal
+        FROM orders WHERE o_custkey % 3 <> 0 GROUP BY o_custkey
+    ),
+    inserts AS (
+        SELECT c_custkey + 1000000 AS c_custkey, 'I' AS op,
+               ROUND(new_acctbal / 10, 2) AS new_acctbal
+        FROM changes WHERE op = 'U' AND c_custkey % 97 = 0
+    ),
+    chg AS (SELECT * FROM changes UNION ALL SELECT * FROM inserts),
+    merged AS (
+        SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN b.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                         AND c.op <> 'D' THEN c.new_acctbal
+                    WHEN b.c_custkey IS NULL THEN c.new_acctbal
+                    ELSE b.c_acctbal END AS c_acctbal,
+               CASE WHEN b.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                         AND c.op <> 'D' THEN 'updated'
+                    WHEN b.c_custkey IS NULL THEN 'inserted'
+                    ELSE 'kept' END AS row_status
+        FROM customer b FULL JOIN chg c ON b.c_custkey = c.c_custkey
+        WHERE NOT (b.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                   AND c.op = 'D')
+          AND NOT (b.c_custkey IS NULL AND c.op = 'D')
+    )
+    SELECT row_status, COUNT(*) AS n_rows,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM merged GROUP BY row_status ORDER BY row_status
+    """,
+)
+def cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert+delete) applied to the customer snapshot —
+    operators/merge.py::merge_apply.  The change set is derived
+    deterministically from orders with modulus routing so EVERY merge
+    branch is populated at every scale factor: customers ≡0 (mod 3)
+    get no change row (kept), ≡0 (mod 11) among the rest are deletes,
+    the remainder are balance updates, and every 97th updated key
+    also ships a synthetic insert under key+1_000_000 (the
+    unmatched-insert branch).  Returns the per-status audit rollup of
+    the merged snapshot (the verification row a MERGE job emits), so
+    the driver hash covers row routing AND payload arithmetic."""
+    from ..operators.merge import merge_apply
+
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 3 != 0)
+    changes = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("new_acctbal"))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 11 == 0, "D").otherwise("U").alias("op"),
+            "new_acctbal",
+        )
+    )
+    inserts = changes.filter(
+        (F.col("op") == "U") & (F.col("c_custkey") % 97 == 0)
+    ).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.round(F.col("new_acctbal") / 10, 2).alias("new_acctbal"),
+    )
+    merged = merge_apply(
+        customer,
+        changes.unionByName(inserts),
+        key="c_custkey",
+        set_cols={"c_acctbal": F.col("c.new_acctbal")},
+        insert_cols={"c_acctbal": F.col("c.new_acctbal")},
+    )
+    return (
+        merged.groupBy("row_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("row_status")
+    )
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               LAG(o_orderpriority) OVER
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders WHERE o_custkey < 200
+    ),
+    starts AS (
+        SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(LEAD(o_orderdate) OVER
+                (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS DATE) AS valid_to
+    FROM starts
+    ORDER BY custkey, valid_from
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history — operators/merge.py::
+    scd2_intervals.  Each customer's order-priority stream collapses
+    into validity intervals (change-point on LAG, close on LEAD);
+    NULL valid_to marks the current interval.  The custkey predicate
+    is applied AT THE SCAN (pushed filter), so the window pass only
+    shuffles the slice — the pattern that keeps per-key history
+    rebuilds cheap at 100 TB (combine with partition pruning on the
+    change-date column for incremental rebuilds)."""
+    from ..operators.merge import scd2_intervals
+
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+    )
+    iv = scd2_intervals(
+        orders,
+        key="o_custkey",
+        ts_col="o_orderdate",
+        value_col="o_orderpriority",
+        tiebreak_col="o_orderkey",
+    )
+    return iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    ).orderBy("custkey", "valid_from")
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (ANALYZE-style data understanding):
+    rows/nulls/distinct/min/max for four orders columns computed in a
+    SINGLE aggregate over ONE scan, then unpivoted to one row per
+    column.  The oracle states the same facts as four separate
+    full-table SELECTs — at 100 TB the single-scan form is the entire
+    point (DuckDB here reads the table 4×; profiling all N columns of
+    a wide fact costs N scans that way).  Numeric min/max round
+    before the string cast so both engines format identically."""
+    orders = table(spark, sf_dir, "orders")
+
+    def stats(col: str, numeric: bool) -> list:
+        mn, mx = F.min(col), F.max(col)
+        if numeric:
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        return [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            mn.cast("string").alias(f"{col}__min"),
+            mx.cast("string").alias(f"{col}__max"),
+        ]
+
+    cols = [
+        ("o_custkey", True),
+        ("o_orderstatus", False),
+        ("o_orderpriority", False),
+        ("o_totalprice", True),
+    ]
+    aggs = [a for c, num in cols for a in stats(c, num)]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    ).orderBy("column_name")
+
+
+@register(
+    "part_cooccurrence_top20",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining (market-basket): part pairs appearing in
+    the same order, top 20 by support.  The self-join is an equi-join
+    on l_orderkey, so pair generation is quadratic only WITHIN an
+    order (baskets are small by construction) and co-locates with one
+    hash shuffle; the pair counts combine map-side before the final
+    TakeOrderedAndProject.  The same shape computes token/document
+    co-occurrence for embedding-training corpora."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bin,
+           CAST(FLOOR(o_totalprice / 50000) AS INT) * 50000.0 AS bin_low,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1, 2 ORDER BY bin
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width histogram of order totals (50k bins) — the
+    deterministic complement to the approx-percentile sketches
+    (order_price_quantiles / quantiles_approx_scale_variant).  Pure
+    map-side binning + combine: one scan, one k-row shuffle, scale
+    cost independent of data skew because the bin key is bounded by
+    the value domain, not the row count."""
+    orders = table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (
+        orders.groupBy(
+            bin_.alias("bin"), (bin_ * 50000.0).alias("bin_low")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
