@@ -313,13 +313,17 @@ def sq_cosine_topk(
     )
 
 
-def _centroid_df(spark, dim: int, num_centroids: int, seed: int) -> DataFrame:
+def _random_centroid_rows(
+    dim: int, num_centroids: int, seed: int
+) -> list[tuple[int, list[float]]]:
+    """Seeded spherical quantizer as plain driver rows — no Spark
+    round-trip, so building an IVF plan over random centroids stays
+    action-free (the lazy-construction pin in test_plan_audit)."""
     rng = random.Random(seed)
-    rows = [
+    return [
         (c, [rng.gauss(0.0, 1.0) for _ in range(dim)])
         for c in range(num_centroids)
     ]
-    return spark.createDataFrame(rows, "centroid_id INT, cvec ARRAY<DOUBLE>")
 
 
 def ivf_cosine_topk(
@@ -361,17 +365,18 @@ def ivf_cosine_topk(
     """
     from .clustering import _centroid_rows, assign_ids
 
-    spark = corpus.sparkSession
-    cents = (
-        centroids
-        if centroids is not None
-        else _centroid_df(spark, dim, num_centroids, seed)
-    )
     # The quantizer is the MODEL — k×dim doubles, driver-sized by
     # contract — so assignment is a zero-shuffle Arrow-vectorized
     # argmax pass (operators/clustering.py::assign_ids): no crossJoin
     # row blow-up, no per-id groupBy/window re-shuffle of the corpus.
-    cent_rows = _centroid_rows(cents)
+    # Random centroids are generated driver-side (no action); a
+    # caller-provided centroid TABLE is collected — model-sized, and
+    # those callers register as ITERATIVE_CONSTRUCTION.
+    cent_rows = (
+        _centroid_rows(centroids)
+        if centroids is not None
+        else _random_centroid_rows(dim, num_centroids, seed)
+    )
 
     corpus_lists = assign_ids(corpus, cent_rows, id_col, vec_col, 1)
     query_probes = assign_ids(

@@ -357,3 +357,60 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_click_nonconverting",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts AS purchase_ts FROM events
+        WHERE event_type = 'purchase'
+    ), per_click AS (
+        SELECT c.user_id, c.click_id,
+               MAX(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS converted
+        FROM clicks c
+        LEFT JOIN purch p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) * 1.0 / COUNT(*), 4) AS conv_rate
+    FROM per_click GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_click_nonconverting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the LEFT-OUTER stream-stream interval join
+    (streaming.windows.click_purchase_outer): per-user click counts,
+    converted-click counts (a purchase within 10 minutes), and the
+    conversion rate — the abandonment metric the INNER interval join
+    (events_click_purchase_join) structurally cannot produce, since
+    non-converting clicks only exist on the outer side.  Streaming
+    mode runs the identical expressions with watermarks on both
+    sides; null-padded rows wait for the watermark to pass (bounded
+    state, delayed nulls — tests/test_streaming.py pins the
+    within-horizon prefix equals batch)."""
+    from ..streaming.windows import click_purchase_outer
+
+    pairs = click_purchase_outer(table(spark, sf_dir, "events"))
+    per_click = pairs.groupBy("user_id", "click_id").agg(
+        F.max(
+            F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+        ).alias("converted")
+    )
+    return (
+        per_click.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conv_rate"),
+        )
+        .orderBy("user_id")
+    )

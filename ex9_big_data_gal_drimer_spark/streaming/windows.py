@@ -145,6 +145,54 @@ def click_purchase_within(
     )
 
 
+def click_purchase_outer(
+    events: DataFrame,
+    bound: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every click, paired
+    with each same-user purchase inside ``bound`` after it — or a
+    NULL purchase side if none arrives.  The outer side is what
+    funnel/abandonment analytics need (the inner variant above can't
+    see non-converting clicks).
+
+    Streaming semantics: outer joins additionally require the
+    watermark to PASS before a null-padded row can be emitted (Spark
+    must prove no matching purchase can still arrive), so unmatched
+    clicks near the head of the stream trail the matched output by
+    ``watermark + bound`` — bounded state, delayed nulls.  Batch
+    callers get a plain left range join with identical expressions
+    (DuckDB-oracle-checked via events_click_nonconverting).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {bound}")),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def enrich_with_dimensions(
     events: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:

@@ -155,3 +155,36 @@ def test_rocksdb_state_store(spark, events_dir):
         assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     finally:
         spark.conf.set(key, saved)
+
+
+def test_stream_outer_join_matched_and_horizon(spark, events_dir):
+    """LEFT-OUTER stream-stream interval join: matched pairs must
+    equal the batch left join's matched pairs exactly; null-padded
+    rows may only appear once the watermark passes a click's whole
+    join window, so (a) every streamed null row is a batch null row,
+    and (b) within the conservative horizon (max_ts - watermark -
+    bound - slack) streamed nulls are COMPLETE."""
+    import datetime
+
+    from ex9_big_data_gal_drimer_spark.streaming.windows import (
+        click_purchase_outer,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_and_fetch(
+        spark, click_purchase_outer(stream), "t_ss_outer", mode="append"
+    ).collect()
+    batch = click_purchase_outer(load_table(spark, SF_DIR, "events")).collect()
+
+    matched_s = sorted(tuple(r) for r in got if r["purchase_ts"] is not None)
+    matched_b = sorted(tuple(r) for r in batch if r["purchase_ts"] is not None)
+    assert matched_s == matched_b and len(matched_s) > 0
+
+    nulls_s = {tuple(r) for r in got if r["purchase_ts"] is None}
+    nulls_b = {tuple(r) for r in batch if r["purchase_ts"] is None}
+    assert nulls_s <= nulls_b
+    max_ts = max(r["click_ts"] for r in batch)
+    horizon = max_ts - datetime.timedelta(minutes=45)
+    expected = {t for t in nulls_b if t[2] <= horizon}
+    got_h = {t for t in nulls_s if t[2] <= horizon}
+    assert got_h == expected
