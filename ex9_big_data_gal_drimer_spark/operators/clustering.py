@@ -277,38 +277,53 @@ def semdedup_pairs(
 
     The cluster id is the blocking key: pair cost is quadratic only
     within a cluster (the SemDeDup contract — k bounds the block
-    size), and the self-join is an equi-join on centroid_id, so
-    candidates co-locate by one hash shuffle.  Each row's L2 norm is
-    computed ONCE before the join (a per-row projection the join
-    boundary keeps out of the pair loop), so the per-pair work is a
-    single dot-product fold + one divide instead of dot + two norms —
-    3× fewer interpreted HOF element ops in the quadratic stage,
-    where it matters.
+    size).  ONE hash shuffle co-locates each cluster, then
+    applyInPandas computes the whole within-cluster similarity block
+    as a numpy normalized matmul (row-blocked so peak memory is
+    block×cluster, not cluster²) — the same vectorization argument as
+    assign_ids: a JVM self-join pays an interpreted ~dim-element fold
+    per PAIR, which is exactly the quadratic term.  The upper
+    triangle (id_a < id_b, ids sorted within cluster) is emitted at
+    or above the threshold.
     """
-    from ..functions import dot, l2_norm
+    id_type = {
+        f.name: f.dataType.simpleString() for f in assigned.schema.fields
+    }[id_col]
 
-    normed = assigned.select(
-        id_col, "centroid_id", vec_col, l2_norm(F.col(vec_col)).alias("__n")
-    )
-    par = assigned.sparkSession.sparkContext.defaultParallelism
-    a = normed.repartition(par, F.col("centroid_id")).alias("a")
-    b = normed.alias("b")
-    sim = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (F.col("a.__n") * F.col("b.__n")),
-        sim_scale,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        X = np.stack(pdf[vec_col].to_numpy())
+        ids = pdf[id_col].to_numpy()
+        cid = int(pdf["centroid_id"].iloc[0])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        out = []
+        step = 1024
+        for lo in range(0, len(Xn), step):
+            hi = min(lo + step, len(Xn))
+            sims = np.round(Xn[lo:hi] @ Xn.T, sim_scale)
+            for i in range(lo, hi):
+                cols = np.nonzero(sims[i - lo, i + 1:] >= threshold)[0] + i + 1
+                for j in cols:
+                    out.append((cid, ids[i], ids[j], sims[i - lo, j]))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype="int32"),
+                    "id_a": pd.Series([], dtype=ids.dtype),
+                    "id_b": pd.Series([], dtype=ids.dtype),
+                    "cosine_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            out, columns=["cluster_id", "id_a", "id_b", "cosine_sim"]
         )
-        .select(
-            F.col("a.centroid_id").alias("cluster_id"),
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        block,
+        f"cluster_id INT, id_a {id_type}, id_b {id_type}, cosine_sim DOUBLE",
     )

@@ -47,3 +47,44 @@ def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@register(
+    "sorted_layout_rowgroup_skip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+      AND l_shipdate <  TIMESTAMP '1995-04-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sorted_layout_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-month scan over the SORT-CLUSTERED lineitem layout
+    (sources/layout.py::ingest_sorted): the l_shipdate predicate is a
+    pushed parquet filter, and because the files are globally
+    range-ordered on that column, only the row groups whose [min,max]
+    straddle March 1995 are decoded — row-group skipping, the
+    within-file twin of partition pruning (partitioned_scan_pruning).
+    tests/test_layout.py reads the parquet footers directly and pins
+    that the fraction of row groups intersecting the predicate is a
+    small minority in this layout but ~all of them in an unsorted
+    copy of the same rows."""
+    from ..sources.layout import ingest_sorted
+
+    path = ingest_sorted(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-03-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

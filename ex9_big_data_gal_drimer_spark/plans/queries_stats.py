@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -242,3 +244,56 @@ def quantiles_approx_scale_variant(spark: SparkSession, sf_dir: str) -> DataFram
         F.transform("approx_q", lambda x: F.round(x, 2)).alias("approx_q"),
         rel_err.alias("rel_err"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "robust_price_stats_by_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MEDIAN(o_totalprice), 2) AS median_price,
+           ROUND(MAD(o_totalprice), 2) AS mad_price
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def robust_price_stats_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics (exact median + median absolute deviation)
+    per order priority via GROUPED_AGG pandas UDFs — the one Python
+    execution shape the engine's tier list was missing (scalar
+    pandas_udf / applyInPandas / mapInPandas / applyInPandasWithState
+    / UDTF / grouped-agg).  numpy and DuckDB both interpolate the
+    even-count median on DOUBLE, so the oracle is exact.
+
+    Scale: a grouped-agg UDF materializes each GROUP on one executor
+    (here: five priority groups) — correct for bounded-cardinality
+    group-bys; for high-cardinality or skewed keys the scale default
+    is the mergeable approx_percentile sketch
+    (order_price_quantiles / quantiles_approx_scale_variant)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    @pandas_udf("double")
+    def mad_udf(v: pd.Series) -> float:
+        x = v.to_numpy()
+        return float(np.median(np.abs(x - np.median(x))))
+
+    # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the count rides
+    # the same Arrow batch as a third tiny UDF.
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return int(len(v))
+
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            count_udf("o_totalprice").alias("n_orders"),
+            F.round(median_udf("o_totalprice"), 2).alias("median_price"),
+            F.round(mad_udf("o_totalprice"), 2).alias("mad_price"),
+        )
+        .orderBy("priority")
+    )

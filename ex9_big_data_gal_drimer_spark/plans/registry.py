@@ -37,6 +37,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "knn_ivf_trained",
     "knn_ivf_model_store",
     "partitioned_scan_pruning",
+    "sorted_layout_rowgroup_skip",
 }
 
 

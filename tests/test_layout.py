@@ -59,3 +59,55 @@ def test_approx_quantiles_within_one_percent(spark):
     assert rows, "expected per-priority rows"
     for r in rows:
         assert all(e is not None and e < 0.02 for e in r["rel_err"]), r
+
+
+def test_sorted_layout_skips_rowgroups(spark):
+    """The sort-clustered layout's contract, read straight from the
+    parquet footers: for a one-month l_shipdate predicate, the
+    fraction of row groups whose [min,max] intersects the range is a
+    small minority — while an UNSORTED copy of the same rows at the
+    same row-group size has (nearly) every row group straddling the
+    range.  Spark's pushed filter is what consumes those stats, so
+    the plan must show a PushedFilters entry for l_shipdate."""
+    import datetime
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ex9_big_data_gal_drimer_spark.catalog import load_table
+    from ex9_big_data_gal_drimer_spark.sources.layout import ingest_sorted
+
+    lo = datetime.datetime(1995, 3, 1)
+    hi = datetime.datetime(1995, 4, 1)
+
+    def intersecting_fraction(path):
+        total = hit = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.to_arrow_schema().get_field_index("l_shipdate")
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min < hi and st.max >= lo:
+                    hit += 1
+        assert total > 8, f"expected many small row groups, got {total}"
+        return hit / total
+
+    sorted_path = ingest_sorted(spark, SF_DIR, block_size=16 * 1024)
+    unsorted_path = os.path.join(tempfile.gettempdir(), "ex9_unsorted_test")
+    (
+        load_table(spark, SF_DIR, "lineitem")
+        .repartition(4)  # hash-scatter: every task sees every month
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16 * 1024)
+        .parquet(unsorted_path)
+    )
+
+    frac_sorted = intersecting_fraction(sorted_path)
+    frac_unsorted = intersecting_fraction(unsorted_path)
+    assert frac_sorted < 0.25, f"sorted layout should skip: {frac_sorted}"
+    assert frac_unsorted > 0.9, f"unsorted should not skip: {frac_unsorted}"
+
+    df = QUERIES["sorted_layout_rowgroup_skip"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
