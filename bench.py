@@ -42,19 +42,28 @@ from ex9_big_data_gal_drimer_spark.session import get_spark
 
 
 def _previous_bench(here: str) -> tuple[str, dict[str, float]] | None:
-    """Newest BENCH_r{N}.json next to the script, for delta reporting."""
+    """Newest committed bench numbers, for delta reporting: prefer the
+    newest BENCH_FULL_r{N}.json (bench.py writes it with the COMPLETE
+    per-query map), falling back to the newest driver BENCH_r{N}.json
+    whose 2000-char stdout tail must be scraped (and whose truncation
+    can silently produce bogus per-query baselines — the reason FULL
+    wins even for an older round number)."""
+    fulls = []
+    for path in glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
+        m = re.search(r"BENCH_FULL_r(\d+)\.json$", path)
+        if m:
+            fulls.append((int(m.group(1)), path))
+    if fulls:
+        try:
+            _, path = max(fulls)
+            with open(path) as fh:
+                return os.path.basename(path), json.load(fh)["queries"]
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
     best = _newest_round(here)
     if best is None:
         return None
     try:
-        # Prefer the committed full file for that round (exists from
-        # round 3 on); the driver's BENCH_r{N}.json keeps only a
-        # 2000-char stdout tail with "parsed": null when the JSON line
-        # was cut.
-        full = os.path.join(here, f"BENCH_FULL_r{best[0]:02d}.json")
-        if os.path.exists(full):
-            with open(full) as fh:
-                return os.path.basename(full), json.load(fh)["queries"]
         with open(best[1]) as fh:
             data = json.load(fh)
         queries = data.get("queries") or (data.get("parsed") or {}).get(
