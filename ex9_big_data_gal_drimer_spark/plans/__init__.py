@@ -28,6 +28,7 @@ from . import queries_training  # noqa: F401,E402
 from . import queries_bucketed  # noqa: F401,E402
 from . import queries_warehouse  # noqa: F401,E402
 from . import queries_incremental  # noqa: F401,E402
+from . import queries_lm  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
