@@ -1,0 +1,242 @@
+"""Product Quantization ANN (Jégou et al. 2011, "Product
+quantization for nearest neighbor search" — public literature): the
+compression tier of X3, next to int8 scalar quantization
+(similarity.quantize_int8) and the IVF/LSH bucketing tiers.
+
+The vector splits into `m` subvectors; each subspace gets its own
+k-codeword codebook, so a dim-64 float64 vector (512 B) stores as
+m=16 single-byte codes (k=256 fits uint8) — 32× smaller, and the
+asymmetric
+distance computation (ADC) scans CODES, never raw vectors: per query
+build one m×k lookup table of exact subspace distances, then every
+corpus distance is m table lookups + adds.
+
+Spark shapes:
+- fit: codebooks train driver-side on a deterministic hash-ordered
+  sample (the standard PQ practice — FAISS trains on ~100k sampled
+  vectors regardless of corpus size; the model is m·k·(dim/m) floats,
+  driver-sized by definition).
+- encode: ONE Arrow-vectorized zero-shuffle pass (numpy argmin per
+  subspace) producing the keys-sized code table — the artifact that
+  persists and ships to every query node.
+- ADC scan: mapInPandas over the code table with the query tables in
+  the task closure; per-partition numpy top-candidates, then a global
+  top-k + EXACT cosine re-rank of rerank_factor·k candidates against
+  the raw vectors (the re-rank join touches only candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit_rows(X):
+    """Row-normalize to unit L2 — on unit vectors, L2 ordering ≡
+    cosine ordering (||a−b||² = 2−2·cos), so the ADC's L2 tables
+    propose candidates for the COSINE objective correctly.  Zero rows
+    pass through unscaled."""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1)
+    n[n == 0] = 1.0
+    return X / n[:, None]
+
+
+def pq_fit(
+    emb: DataFrame,
+    dim: int,
+    m: int = 16,
+    k: int = 256,
+    n_iter: int = 10,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list:
+    """Train per-subspace codebooks; returns a nested Python list
+    [m][k][dim/m] (the model).  Sampling is deterministic (smallest
+    xxhash64(id) — same seeded-draw contract as kmeans_fit's init),
+    Lloyd runs in numpy on the driver: PQ codebooks are model-sized
+    and the sample bounds driver memory regardless of corpus size."""
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    d_sub = dim // m
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = _unit_rows(np.stack([np.asarray(r[vec_col]) for r in rows]))
+    books = []
+    for s in range(m):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        C = Xs[:k].copy()  # hash-ordered sample → deterministic init
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, codes ARRAY<INT> of length m): nearest codeword per
+    subspace, one zero-shuffle Arrow pass.  The output is the
+    compressed index — m bytes of information per vector."""
+    import numpy as np
+
+    id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[
+        id_col
+    ]
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+
+    def f(batches):
+        import pandas as pd
+
+        B = [np.asarray(b) for b in codebooks]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _unit_rows(np.stack(pdf[vec_col].to_numpy()))
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * d_sub : (s + 1) * d_sub]
+                d2 = (
+                    (Xs**2).sum(1)[:, None]
+                    - 2 * Xs @ B[s].T
+                    + (B[s] ** 2).sum(1)[None, :]
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        f, f"{id_col} {id_type}, codes ARRAY<INT>"
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 16,
+    k: int = 5,
+    n_codes: int = 256,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    sim_scale: int = 4,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ + ADC + exact re-rank.
+
+    The query set collects to the driver (queries are few by contract
+    — the same documented collect as vectorized_topk); per query an
+    m×n_codes table of exact subspace L2 distances to every codeword
+    is shipped in the closure, so the corpus-side scan reads ONLY the
+    code table and does m lookups/adds per (query, vector).  The
+    ADC's L2 ranking proposes rerank_factor·k candidates; the final
+    order is an exact cosine re-rank over the raw vectors of just
+    those candidates (candidates-only join — the standard
+    compressed-index serving shape)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from ..functions import cosine_similarity
+
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(corpus, dim, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+    )
+    d_sub = dim // m
+    B = [np.asarray(b) for b in books]
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    Q = _unit_rows(np.stack([np.asarray(r[query_vec_col]) for r in q_rows]))
+    # tables[q][s][c] = ||q_s - codeword_{s,c}||^2  (exact, tiny)
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[:, s * d_sub : (s + 1) * d_sub][:, None, :] - B[s][None])
+                     ** 2).sum(axis=2)[qi]
+                    for s in range(m)
+                ]
+            )
+            for qi in range(len(q_ids))
+        ]
+    )
+    n_cand = rerank_factor * k
+
+    codes_df = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # rows×m
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_d = [], [], []
+            for qi, qid in enumerate(q_ids):
+                # ADC: sum subspace table entries addressed by codes
+                d = tables[qi][np.arange(m)[:, None], C.T].sum(axis=0)
+                top = np.argsort(d, kind="stable")[:n_cand]
+                out_q.extend([qid] * len(top))
+                out_id.extend(ids[top])
+                out_d.extend(d[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "__adc": out_d}
+            )
+
+    id_type = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}[
+        id_col
+    ]
+    part_cands = codes_df.mapInPandas(
+        scan, f"{query_id_col} BIGINT, {id_col} {id_type}, __adc DOUBLE"
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy("__adc", id_col)
+    cands = (
+        part_cands.withColumn("__r", F.row_number().over(w_adc))
+        .filter((F.col("__r") <= n_cand) & (F.col(id_col) != F.col(query_id_col)))
+        .select(query_id_col, id_col)
+    )
+    rerank = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, query_vec_col)
+            ),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col(query_vec_col), F.col(vec_col)),
+                sim_scale,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -215,3 +215,27 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(
         emb, queries, dim=EMBEDDING_DIM, k=5, num_centroids=8, nprobe=4
     ).orderBy("query_id", "rnk")
+
+
+@register("knn_pq_adc")
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 compression path #2: Product Quantization + asymmetric
+    distance (operators/pq.py) — dim-64 doubles (512 B) become m=16
+    byte codes (32× smaller than raw, 4× past int8 SQ), the ADC scan
+    reads only the code table (m lookups+adds per vector), and an
+    exact cosine re-rank over rerank_factor·k candidates restores
+    ranking quality.  Codebooks train driver-side on a deterministic
+    hash-ordered sample (model-sized — the FAISS practice).
+    Rows-only (codebook training is engine-specific); recall vs
+    brute force pinned by tests/test_pq.py."""
+    from ..operators.pq import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return pq_adc_topk(
+        emb, queries, dim=EMBEDDING_DIM, m=16, k=5, rerank_factor=4
+    ).orderBy("query_id", "rnk")

@@ -38,6 +38,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "knn_ivf_model_store",
     "partitioned_scan_pruning",
     "sorted_layout_rowgroup_skip",
+    "knn_pq_adc",
 }
 
 

@@ -119,3 +119,65 @@ def test_orc_roundtrip_orders(spark, tmp_path):
     # pruned read schema: only the two referenced columns are read
     scan_line = next(l for l in plan.splitlines() if "FileScan orc" in l)
     assert "o_totalprice" not in scan_line
+
+
+def test_stream_merge_upsert_sink_accumulates_and_skips_replays(spark, tmp_path):
+    """foreachBatch MERGE sink: two micro-batches accumulate into one
+    keys-sized snapshot equal to the batch aggregate of all input;
+    re-running the stream against a FRESH checkpoint (same batch ids
+    re-delivered) must leave the state byte-identical — the
+    _applied_batch marker makes merge-accumulate idempotent under
+    at-least-once delivery."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ex9_big_data_gal_drimer_spark.catalog import load_table
+    from ex9_big_data_gal_drimer_spark.streaming.sinks import (
+        read_merge_state,
+        stream_merge_upsert_sink,
+    )
+    from ex9_big_data_gal_drimer_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    from conftest import SF_DIR
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    # Two source files -> two micro-batches (maxFilesPerTrigger=1);
+    # the duplicate file doubles every key's partials, exercising the
+    # matched-accumulate branch for every key in batch 2.
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+    state = str(tmp_path / "state")
+
+    q = stream_merge_upsert_sink(
+        read_events_stream(spark, str(src)), state, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (round(r["total_value"], 6), r["n_events"])
+        for r in read_merge_state(spark, state).collect()
+    }
+    expect = {
+        r["user_id"]: (round(2 * r["tv"], 6), 2 * r["ne"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("tv"), F.count(F.lit(1)).alias("ne"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # Replay: fresh checkpoint re-delivers batches 0 and 1 with the
+    # same ids; the marker must skip both.
+    q2 = stream_merge_upsert_sink(
+        read_events_stream(spark, str(src)), state, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    again = {
+        r["user_id"]: (round(r["total_value"], 6), r["n_events"])
+        for r in read_merge_state(spark, state).collect()
+    }
+    assert again == got
