@@ -104,3 +104,44 @@ def ingest_sorted(
         .parquet(path)
     )
     return path
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_size / target_bytes) files, optionally re-sorted on
+    `sort_col` to restore row-group clustering (compaction is when
+    sort order degrades — appends interleave ranges).
+
+    Returns (files_before, files_after).  The rewrite goes through a
+    temp dir + atomic rename, so readers never observe a half-written
+    directory.  This is the maintenance job every streaming/append
+    sink needs at 100 TB: query cost tracks file count (driver
+    listing, per-file open, footer reads), and a many-small-appends
+    table degrades until compacted.
+    """
+    import glob as _glob
+    import math
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.coalesce(n_out)
+    tmp = path.rstrip("/") + "_compacting"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "_precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(files), len(_glob.glob(os.path.join(path, "*.parquet")))

@@ -111,3 +111,30 @@ def test_sorted_layout_skips_rowgroups(spark):
     df = QUERIES["sorted_layout_rowgroup_skip"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_compaction_reduces_files_preserving_rows(spark, tmp_path):
+    """Compaction contract: many small files -> few target-sized
+    files, identical row multiset, atomic swap (no *_compacting /
+    *_precompact residue), and with sort_col the compacted layout is
+    range-clustered again (footer min/max usable)."""
+    from ex9_big_data_gal_drimer_spark.catalog import load_table
+    from ex9_big_data_gal_drimer_spark.sources.layout import compact
+
+    path = str(tmp_path / "frag")
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.repartition(32).write.parquet(path)  # fragmented: 32 small files
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).select("l_orderkey", "l_linenumber").collect())
+    )
+
+    n_before, n_after = compact(
+        spark, path, target_bytes=10 * 1024 * 1024, sort_col="l_shipdate"
+    )
+    assert n_before == 32 and n_after < 8
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(path).select("l_orderkey", "l_linenumber").collect())
+    )
+    assert after_rows == before_rows
+    assert not os.path.exists(path + "_compacting")
+    assert not os.path.exists(path + "_precompact")
