@@ -239,3 +239,26 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, queries, dim=EMBEDDING_DIM, m=16, k=5, rerank_factor=4
     ).orderBy("query_id", "rnk")
+
+
+@register("knn_ivfpq_cosine")
+def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 composed serving shape: IVF + PQ + ADC + exact re-rank
+    (operators/pq.py::ivfpq_topk) — the FAISS IndexIVFPQ pattern.
+    IVF probing bounds WHICH vectors are scanned (~nprobe/centroids
+    of the corpus), PQ codes bound WHAT is read per scanned vector
+    (16 bytes), exact cosine re-ranks the candidate sliver.  This is
+    the billion-scale default; the standalone IVF/PQ/SQ/LSH tiers
+    are its ablations.  Rows-only; recall pinned by tests/test_pq.py."""
+    from ..operators.pq import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivfpq_topk(
+        emb, queries, dim=EMBEDDING_DIM, m=16, k=5, num_centroids=8,
+        nprobe=4, rerank_factor=4,
+    ).orderBy("query_id", "rnk")

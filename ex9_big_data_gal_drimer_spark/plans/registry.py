@@ -39,6 +39,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "partitioned_scan_pruning",
     "sorted_layout_rowgroup_skip",
     "knn_pq_adc",
+    "knn_ivfpq_cosine",
 }
 
 

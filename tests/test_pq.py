@@ -79,3 +79,32 @@ def test_pq_query_shape(spark):
     for r in rows:
         per_q.setdefault(r["query_id"], []).append(r["rnk"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_ivfpq_recall_and_shape(spark):
+    """IVF routing on top of PQ may only LOSE candidates the probes
+    miss; with nprobe=half the lists plus exact re-rank, recall vs
+    brute force must stay useful and the output shape must match the
+    other knn tiers."""
+    from ex9_big_data_gal_drimer_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    got = QUERIES["knn_ivfpq_cosine"](spark, SF_DIR)
+    rows = got.collect()
+    assert got.columns == ["query_id", "neighbor_id", "sim", "rnk"]
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(per_q) == 10 and all(len(v) == 5 for v in per_q.values())
+    e: dict = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[q] & per_q.get(q, set())) / len(e[q]) for q in e]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"IVF-PQ recall too low: {mean_recall}"
