@@ -88,3 +88,45 @@ def sorted_layout_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "zorder_layout_skip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+      AND l_shipdate <  TIMESTAMP '1995-06-01'
+      AND l_partkey BETWEEN 1000 AND 3000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def zorder_layout_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predicate scan (time range AND part-id range) over the
+    Z-ORDER-clustered lineitem layout (sources/layout.py::
+    ingest_zordered): bit-interleaved (l_shipdate, l_partkey) ranks
+    give row-group locality on BOTH columns, so each pushed filter
+    skips independently — a compound (a, b) sort would prune only on
+    `a`.  tests/test_layout.py reads the footers and pins that BOTH
+    columns' intersecting row-group fractions are minorities in this
+    layout, while the single-column sorted layout prunes only its own
+    sort column."""
+    from ..sources.layout import ingest_zordered
+
+    path = ingest_zordered(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-03-01")
+            & (F.col("l_shipdate") < "1995-06-01")
+            & (F.col("l_partkey").between(1000, 3000))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -40,6 +40,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "sorted_layout_rowgroup_skip",
     "knn_pq_adc",
     "knn_ivfpq_cosine",
+    "zorder_layout_skip",
 }
 
 

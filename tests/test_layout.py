@@ -138,3 +138,52 @@ def test_compaction_reduces_files_preserving_rows(spark, tmp_path):
     assert after_rows == before_rows
     assert not os.path.exists(path + "_compacting")
     assert not os.path.exists(path + "_precompact")
+
+
+def test_zorder_layout_skips_on_both_columns(spark):
+    """Z-order contract from the parquet footers: for a range
+    predicate on EACH of the two interleaved columns, the fraction of
+    row groups whose [min,max] intersects is a minority — while the
+    single-column sorted layout (ingest_sorted on l_shipdate) prunes
+    shipdate but has ~every row group straddling any partkey range."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from ex9_big_data_gal_drimer_spark.sources.layout import (
+        ingest_sorted,
+        ingest_zordered,
+    )
+
+    def fraction(path, column, lo, hi):
+        total = hit = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.to_arrow_schema().get_field_index(column)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min < hi and st.max >= lo:
+                    hit += 1
+        assert total > 8
+        return hit / total
+
+    z = ingest_zordered(spark, SF_DIR, block_size=16 * 1024)
+    s = ingest_sorted(spark, SF_DIR, block_size=16 * 1024)
+    d_lo, d_hi = datetime.datetime(1995, 3, 1), datetime.datetime(1995, 6, 1)
+    # part key range = middle fifth of the domain
+    import duckdb
+
+    pk_lo, pk_hi = duckdb.sql(
+        f"SELECT CAST(MAX(l_partkey)*0.4 AS BIGINT), CAST(MAX(l_partkey)*0.6 AS BIGINT) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()
+
+    z_date = fraction(z, "l_shipdate", d_lo, d_hi)
+    z_part = fraction(z, "l_partkey", pk_lo, pk_hi)
+    s_date = fraction(s, "l_shipdate", d_lo, d_hi)
+    s_part = fraction(s, "l_partkey", pk_lo, pk_hi)
+    assert z_date < 0.75, f"zorder should partially prune dates: {z_date}"
+    assert z_part < 0.75, f"zorder should partially prune partkeys: {z_part}"
+    assert s_part > 0.9, f"single-sort should NOT prune partkeys: {s_part}"
+    # single-sort prunes its own column better than zorder does
+    assert s_date <= z_date + 1e-9
