@@ -43,6 +43,13 @@ def _unit_rows(X):
     return X / n[:, None]
 
 
+#: Train-once memo: (applicationId, cache_key, m, k, n_iter, sample_n)
+#: → codebooks.  The fit is deterministic for a given corpus, so
+#: within one session it is a model artifact, not a recomputation —
+#: the in-process analogue of kmeans_fit_or_load's parquet store.
+_FIT_MEMO: dict = {}
+
+
 def pq_fit(
     emb: DataFrame,
     dim: int,
@@ -52,14 +59,25 @@ def pq_fit(
     sample_n: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    cache_key: str | None = None,
 ) -> list:
     """Train per-subspace codebooks; returns a nested Python list
     [m][k][dim/m] (the model).  Sampling is deterministic (smallest
     xxhash64(id) — same seeded-draw contract as kmeans_fit's init),
     Lloyd runs in numpy on the driver: PQ codebooks are model-sized
-    and the sample bounds driver memory regardless of corpus size."""
+    and the sample bounds driver memory regardless of corpus size.
+    Pass `cache_key` (e.g. the sf_dir) to reuse an already-trained
+    model within the session (train-once-serve-many)."""
     import numpy as np
 
+    memo_key = None
+    if cache_key is not None:
+        memo_key = (
+            emb.sparkSession.sparkContext.applicationId,
+            cache_key, m, k, n_iter, sample_n,
+        )
+        if memo_key in _FIT_MEMO:
+            return _FIT_MEMO[memo_key]
     assert dim % m == 0, "dim must divide into m subspaces"
     d_sub = dim // m
     tbl = (
@@ -93,6 +111,8 @@ def pq_fit(
             nz = counts > 0
             C[nz] = sums[nz] / counts[nz][:, None]
         books.append(C.tolist())
+    if memo_key is not None:
+        _FIT_MEMO[memo_key] = books
     return books
 
 
@@ -153,6 +173,7 @@ def pq_adc_topk(
     query_vec_col: str = "qv",
     sim_scale: int = 4,
     codebooks: list | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ + ADC + exact re-rank.
 
@@ -174,7 +195,10 @@ def pq_adc_topk(
     books = (
         codebooks
         if codebooks is not None
-        else pq_fit(corpus, dim, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+        else pq_fit(
+            corpus, dim, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+            cache_key=cache_key,
+        )
     )
     d_sub = dim // m
     B = [np.asarray(b) for b in books]
@@ -272,6 +296,7 @@ def ivfpq_topk(
     sim_scale: int = 4,
     centroids: list | None = None,
     codebooks: list | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF + PQ + ADC + exact re-rank — the composition FAISS ships
     as IndexIVFPQ, and the standard billion-scale serving shape: the
@@ -301,7 +326,10 @@ def ivfpq_topk(
     books = (
         codebooks
         if codebooks is not None
-        else pq_fit(corpus, dim, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+        else pq_fit(
+            corpus, dim, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+            cache_key=cache_key,
+        )
     )
     d_sub = dim // m
     B = [np.asarray(b) for b in books]

@@ -237,7 +237,8 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return pq_adc_topk(
-        emb, queries, dim=EMBEDDING_DIM, m=16, k=5, rerank_factor=4
+        emb, queries, dim=EMBEDDING_DIM, m=16, k=5, rerank_factor=4,
+        cache_key=sf_dir,
     ).orderBy("query_id", "rnk")
 
 
@@ -260,5 +261,5 @@ def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfpq_topk(
         emb, queries, dim=EMBEDDING_DIM, m=16, k=5, num_centroids=8,
-        nprobe=4, rerank_factor=4,
+        nprobe=4, rerank_factor=4, cache_key=sf_dir,
     ).orderBy("query_id", "rnk")
