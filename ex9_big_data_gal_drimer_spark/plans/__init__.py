@@ -117,6 +117,17 @@ _DRIVER_PRIORITY: list[str] = [
 # flagship q1–q6 (and everything later) ride on their banked green
 # rows from CORRECTNESS_r01/r02 plus the local differential suite,
 # which covers all queries regardless of position.
+#
+# ROUND-4 ROTATION: once CORRECTNESS_r03 banks the list above,
+# re-seat these 15 late-round-3 queries (never driver-checked; all
+# local-green) at the head of the next window:
+#   cdc_merge_customers, scd2_priority_history, profile_orders_columns,
+#   part_cooccurrence_top20, histogram_order_totals,
+#   incremental_agg_maintenance, pagerank_part_cooccurrence,
+#   events_click_nonconverting, robust_price_stats_by_priority,
+#   sorted_layout_rowgroup_skip, zorder_layout_skip,
+#   doc_bigram_logprob, dedup_keep_best_doc,
+#   knn_pq_adc, knn_ivfpq_cosine
 
 
 def _reorder_for_driver() -> None:

@@ -110,14 +110,15 @@ def knn_vectorized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_recall_report")
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-evidencing ANN quality metric: recall@5 of each approximate
-    path (hyperplane-LSH, IVF, int8-SQ) against the exact brute-force
-    neighbors, computed IN the engine as a join-overlap ratio — the
-    property tests/test_scale_ops.py pins locally, surfaced as a
-    driver row (rows-only: the approximate sides are seeded-RNG
-    engine-specific).  At 100 TB this is the continuous-monitoring
-    query an ANN index ships with: ground truth on a small query
-    sample, one row per method."""
+    """Self-evidencing ANN quality metric: recall@5 of EVERY
+    approximate path (hyperplane-LSH, IVF, int8-SQ, PQ-ADC, IVF-PQ)
+    against the exact brute-force neighbors, computed IN the engine
+    as a join-overlap ratio — the property tests/test_scale_ops.py +
+    test_pq.py pin locally, surfaced as a driver row (rows-only: the
+    approximate sides are seeded-RNG engine-specific).  At 100 TB
+    this is the continuous-monitoring query an ANN index ships with:
+    ground truth on a small query sample, one row per method."""
+    from ..operators.pq import ivfpq_topk, pq_adc_topk
     from ..operators.similarity import (
         brute_force_topk,
         ivf_cosine_topk,
@@ -144,6 +145,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, queries, dim=EMBEDDING_DIM, k=5, num_centroids=8, nprobe=4
         ),
         "sq": sq_cosine_topk(emb, queries, k=5, rerank_factor=3),
+        "pq": pq_adc_topk(
+            emb, queries, dim=EMBEDDING_DIM, m=16, k=5, rerank_factor=4,
+            cache_key=sf_dir,
+        ),
+        "ivfpq": ivfpq_topk(
+            emb, queries, dim=EMBEDDING_DIM, m=16, k=5, num_centroids=8,
+            nprobe=4, rerank_factor=4, cache_key=sf_dir,
+        ),
     }
     # Denominator as a broadcast 1-row plan (J1 pattern) — an
     # `exact.count()` here would launch a job during construction.
