@@ -188,3 +188,48 @@ def test_stream_outer_join_matched_and_horizon(spark, events_dir):
     expected = {t for t in nulls_b if t[2] <= horizon}
     got_h = {t for t in nulls_s if t[2] <= horizon}
     assert got_h == expected
+
+
+def test_transform_with_state_matches_batch(spark, events_dir):
+    """transformWithStateInPandas (Spark-4 arbitrary state): after the
+    availableNow source drains, each user's LAST emitted running
+    (count, total, peak) row equals the batch aggregation.  Skipped
+    where the API's protobuf dependency is absent (this container);
+    the batch fallback is asserted either way."""
+    from ex9_big_data_gal_drimer_spark.streaming.stateful import (
+        running_user_stats_tws,
+        tws_available,
+    )
+
+    batch_df = running_user_stats_tws(load_table(spark, SF_DIR, "events"))
+    assert batch_df.columns == [
+        "user_id", "n_events", "total_value", "peak_value",
+    ]
+    assert batch_df.count() > 0
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState "
+                    "driver worker cannot start in this container")
+
+    stream = read_events_stream(spark, events_dir)
+    got_df = _run_and_fetch(
+        spark, running_user_stats_tws(stream), "t_tws", mode="update"
+    )
+    # update mode re-emits per batch; keep each user's final row
+    # (max n_events is the last state).
+    rows = got_df.collect()
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    got = {
+        u: (r["n_events"], r["total_value"], r["peak_value"])
+        for u, r in final.items()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["peak_value"])
+        for r in running_user_stats_tws(
+            load_table(spark, SF_DIR, "events")
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
