@@ -402,3 +402,73 @@ def exact_dedup_media(df: DataFrame) -> DataFrame:
         df.groupBy(F.sha2(F.col("payload"), 256).alias("sha256"))
         .agg(F.min("media_id").alias("keep_media_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def payload_stats_arrow(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-payload byte statistics via `mapInArrow` — the lowest rung
+    of the Python execution tier (below mapInPandas: raw pyarrow
+    RecordBatches, NO pandas materialization).  For binary columns
+    this matters: pandas boxes every payload into a Python `bytes`
+    object per row, while Arrow keeps the whole batch as one
+    contiguous (offsets, data) buffer pair that numpy can scan
+    zero-copy.
+
+    Emits (id, n_bytes, entropy_proxy, is_text) per payload: size
+    from the value offsets alone (no data touched), a byte-histogram
+    entropy over the data buffer (one vectorized pass over the
+    CONCATENATED buffer, then per-payload reduction via the offsets),
+    and a printable-ASCII fraction heuristic.  The same shape scans
+    image/audio/video payloads for corruption/traffic audits at
+    100 TB — the work is one sequential pass over raw buffers."""
+
+    def stats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payload = batch.column(batch.schema.get_field_index(payload_col))
+            # Normalize chunked/sliced layouts to one flat array
+            arr = (
+                payload.combine_chunks()
+                if isinstance(payload, pa.ChunkedArray)
+                else payload
+            )
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            sizes = (offsets[1:] - offsets[:-1]).astype("int64")
+            ent = np.zeros(len(arr))
+            printable = np.zeros(len(arr))
+            for i in range(len(arr)):
+                seg = data[offsets[i] : offsets[i + 1]]
+                if len(seg) == 0:
+                    continue
+                counts = np.bincount(seg, minlength=256)
+                p = counts[counts > 0] / len(seg)
+                ent[i] = float(-(p * np.log2(p)).sum())
+                printable[i] = float(
+                    ((seg >= 0x20) & (seg < 0x7F)).mean()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.combine_chunks()
+                    if isinstance(ids, pa.ChunkedArray)
+                    else ids,
+                    pa.array(sizes, type=pa.int64()),
+                    pa.array(np.round(ent, 4), type=pa.float64()),
+                    pa.array(printable > 0.95, type=pa.bool_()),
+                ],
+                names=[id_col, "n_bytes", "entropy_bits", "is_text"],
+            )
+
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[
+        id_col
+    ]
+    return df.select(id_col, payload_col).mapInArrow(
+        stats,
+        f"{id_col} {id_type}, n_bytes LONG, entropy_bits DOUBLE, is_text BOOLEAN",
+    )

@@ -112,3 +112,25 @@ def media_png_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1
         """
     )
+
+
+@register("media_payload_stats_arrow")
+def media_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 byte-level payload audit via `mapInArrow` — the lowest rung
+    of the Python tier (raw RecordBatches, zero pandas boxing of
+    binary values): per-payload size (from Arrow offsets alone),
+    byte-histogram entropy, printable-ASCII heuristic over the
+    synthesized PPM payloads.  The triage pass a media-ingest
+    pipeline runs before any decode (flag truncated/low-entropy/
+    mislabeled payloads).  Rows-only: payload synthesis is
+    Python-side; determinism + known-byte cases pinned by
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import payload_stats_arrow
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    media = docs.mapInPandas(_text_to_ppm, "media_id long, payload binary")
+    return payload_stats_arrow(media).orderBy("media_id")

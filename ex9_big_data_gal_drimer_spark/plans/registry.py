@@ -41,6 +41,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "knn_pq_adc",
     "knn_ivfpq_cosine",
     "zorder_layout_skip",
+    "ann_recall_report",
 }
 
 

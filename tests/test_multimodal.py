@@ -183,3 +183,37 @@ def test_exact_dedup_media(spark, media):
     assert len(dup) == 1
     assert dup[0].keep_media_id == 100
     assert dup[0].n_copies == 2
+
+
+def test_payload_stats_arrow_known_bytes(spark):
+    """mapInArrow byte stats on analytically known payloads: constant
+    bytes -> entropy 0; all 256 byte values -> entropy 8; printable
+    ASCII -> is_text; sizes come straight from the Arrow offsets."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        payload_stats_arrow,
+    )
+
+    rows = [
+        (1, b"\x00" * 100),
+        (2, bytes(range(256)) * 4),
+        (3, b"plain readable ascii text, fully printable! " * 3),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: r for r in payload_stats_arrow(df).collect()}
+    assert got[1]["n_bytes"] == 100 and got[1]["entropy_bits"] == 0.0
+    assert not got[1]["is_text"]
+    assert got[2]["n_bytes"] == 1024 and got[2]["entropy_bits"] == 8.0
+    assert not got[2]["is_text"]
+    assert got[3]["is_text"] and 0 < got[3]["entropy_bits"] < 8
+
+
+def test_payload_stats_arrow_query(spark):
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["media_payload_stats_arrow"](spark, SF_DIR).collect()
+    assert len(rows) == 50
+    assert all(r["n_bytes"] > 15 for r in rows)  # header + 8x8x3 body
+    again = QUERIES["media_payload_stats_arrow"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
