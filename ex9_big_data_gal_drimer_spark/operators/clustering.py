@@ -11,20 +11,22 @@ centroids also upgrade the IVF ANN index (operators/similarity.py):
 path its docstring promises.
 
 Execution model: Lloyd iterations as DataFrame jobs.  Assignment is a
-ZERO-SHUFFLE map-side expression: the model is k×dim doubles (driver-
-sized by definition — it round-trips through the driver every Lloyd
-iteration anyway), so the centroids are inlined as literal arrays and
-the per-row argmax is `array_position(sims, array_max(sims))` inside
-whole-stage codegen.  No crossJoin row blow-up, no groupBy(id)
-re-shuffle of the corpus — the pre-round-3 form paid one k×n shuffle
-per assignment pass.  The centroid update is one posexplode +
-map-side-combining average keyed on (cluster, dim position) — shuffle
-volume is O(k·dim) post-combine, never vectors-to-one-node.
+ZERO-SHUFFLE Arrow-vectorized pass (mapInPandas batch matmul +
+argmax): the model is k×dim doubles (driver-sized by definition — it
+round-trips through the driver every Lloyd iteration anyway) and
+ships in the task closure.  No crossJoin row blow-up, no groupBy(id)
+re-shuffle of the corpus — two earlier shapes were measured and
+rejected (crossJoin+groupBy argmax shuffles k×n rows; unrolled
+literal expressions interpret ~k·dim multiply-adds per row because
+higher-order functions are CodegenFallback, see assign_ids).  The
+centroid update emits k partial [sum ++ count] rows per partition
+(map-side combine), so per-round shuffle volume is
+k·(dim+1)·numPartitions cells, never vectors-to-one-node.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -159,6 +159,79 @@ def pq_encode(
     )
 
 
+
+def _query_adc_tables(queries, books, dim, query_id_col, query_vec_col):
+    """(q_ids, {qid: m×k ADC table}) — exact subspace L2 distances of
+    each query to every codeword, built as ONE vectorized pass LINEAR
+    in query count (the per-(query, subspace) comprehension this
+    replaced recomputed the full nq×k matrix per query — O(nq²))."""
+    import numpy as np
+
+    m = len(books)
+    d_sub = dim // m
+    B = [np.asarray(b) for b in books]
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    Q = _unit_rows(np.stack([np.asarray(r[query_vec_col]) for r in q_rows]))
+    per_s = np.stack(
+        [
+            ((Q[:, s * d_sub : (s + 1) * d_sub][:, None, :] - B[s][None]) ** 2)
+            .sum(axis=2)
+            for s in range(m)
+        ]
+    )  # m × nq × k
+    return q_ids, {qid: per_s[:, qi, :] for qi, qid in enumerate(q_ids)}
+
+
+def _cut_and_rerank(
+    scored,
+    corpus,
+    queries,
+    n_cand,
+    k,
+    id_col,
+    vec_col,
+    query_id_col,
+    query_vec_col,
+    sim_scale,
+):
+    """Shared serving tail of every PQ path: global ADC candidate cut
+    (asc distance, ties → id), self-exclusion, exact cosine re-rank
+    over the raw vectors of candidates only, final top-k window."""
+    from pyspark.sql.window import Window
+
+    from ..functions import cosine_similarity
+
+    w_adc = Window.partitionBy(query_id_col).orderBy("__adc", id_col)
+    cands = (
+        scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(
+            (F.col("__r") <= n_cand) & (F.col(id_col) != F.col(query_id_col))
+        )
+        .select(query_id_col, id_col)
+    )
+    rerank = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col(query_vec_col), F.col(vec_col)),
+                sim_scale,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -188,10 +261,6 @@ def pq_adc_topk(
     compressed-index serving shape)."""
     import numpy as np
 
-    from pyspark.sql.window import Window
-
-    from ..functions import cosine_similarity
-
     books = (
         codebooks
         if codebooks is not None
@@ -200,23 +269,8 @@ def pq_adc_topk(
             cache_key=cache_key,
         )
     )
-    d_sub = dim // m
-    B = [np.asarray(b) for b in books]
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_ids = [r[query_id_col] for r in q_rows]
-    Q = _unit_rows(np.stack([np.asarray(r[query_vec_col]) for r in q_rows]))
-    # tables[q][s][c] = ||q_s - codeword_{s,c}||^2  (exact, tiny)
-    tables = np.stack(
-        [
-            np.stack(
-                [
-                    ((Q[:, s * d_sub : (s + 1) * d_sub][:, None, :] - B[s][None])
-                     ** 2).sum(axis=2)[qi]
-                    for s in range(m)
-                ]
-            )
-            for qi in range(len(q_ids))
-        ]
+    q_ids, tables = _query_adc_tables(
+        queries, books, dim, query_id_col, query_vec_col
     )
     n_cand = rerank_factor * k
 
@@ -231,9 +285,9 @@ def pq_adc_topk(
             C = np.stack(pdf["codes"].to_numpy())  # rows×m
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_d = [], [], []
-            for qi, qid in enumerate(q_ids):
+            for qid in q_ids:
                 # ADC: sum subspace table entries addressed by codes
-                d = tables[qi][np.arange(m)[:, None], C.T].sum(axis=0)
+                d = tables[qid][np.arange(m)[:, None], C.T].sum(axis=0)
                 top = np.argsort(d, kind="stable")[:n_cand]
                 out_q.extend([qid] * len(top))
                 out_id.extend(ids[top])
@@ -245,36 +299,12 @@ def pq_adc_topk(
     id_type = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}[
         id_col
     ]
-    part_cands = codes_df.mapInPandas(
+    scored = codes_df.mapInPandas(
         scan, f"{query_id_col} BIGINT, {id_col} {id_type}, __adc DOUBLE"
     )
-    w_adc = Window.partitionBy(query_id_col).orderBy("__adc", id_col)
-    cands = (
-        part_cands.withColumn("__r", F.row_number().over(w_adc))
-        .filter((F.col("__r") <= n_cand) & (F.col(id_col) != F.col(query_id_col)))
-        .select(query_id_col, id_col)
-    )
-    rerank = (
-        cands.join(corpus.select(id_col, vec_col), id_col)
-        .join(
-            F.broadcast(
-                queries.select(query_id_col, query_vec_col)
-            ),
-            query_id_col,
-        )
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col(query_vec_col), F.col(vec_col)),
-                sim_scale,
-            ).alias("sim"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+    return _cut_and_rerank(
+        scored, corpus, queries, n_cand, k, id_col, vec_col,
+        query_id_col, query_vec_col, sim_scale,
     )
 
 
@@ -312,9 +342,6 @@ def ivfpq_topk(
     map-side with the per-query tables in the closure."""
     import numpy as np
 
-    from pyspark.sql.window import Window
-
-    from ..functions import cosine_similarity
     from .clustering import assign_ids
     from .similarity import _random_centroid_rows
 
@@ -331,22 +358,9 @@ def ivfpq_topk(
             cache_key=cache_key,
         )
     )
-    d_sub = dim // m
-    B = [np.asarray(b) for b in books]
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_ids = [r[query_id_col] for r in q_rows]
-    Q = _unit_rows(np.stack([np.asarray(r[query_vec_col]) for r in q_rows]))
-    tables = {
-        qid: np.stack(
-            [
-                ((Q[qi, s * d_sub : (s + 1) * d_sub][None, :] - B[s]) ** 2).sum(
-                    axis=1
-                )
-                for s in range(m)
-            ]
-        )
-        for qi, qid in enumerate(q_ids)
-    }
+    _, tables = _query_adc_tables(
+        queries, books, dim, query_id_col, query_vec_col
+    )
     n_cand = rerank_factor * k
 
     corpus_lists = assign_ids(corpus, cent_rows, id_col, vec_col, 1)
@@ -391,28 +405,7 @@ def ivfpq_topk(
     scored = routed.mapInPandas(
         adc, f"{query_id_col} BIGINT, {id_col} {id_type}, __adc DOUBLE"
     )
-    w_adc = Window.partitionBy(query_id_col).orderBy("__adc", id_col)
-    cands = (
-        scored.withColumn("__r", F.row_number().over(w_adc))
-        .filter(
-            (F.col("__r") <= n_cand) & (F.col(id_col) != F.col(query_id_col))
-        )
-        .select(query_id_col, id_col)
-    )
-    rerank = (
-        cands.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col(query_vec_col), F.col(vec_col)),
-                sim_scale,
-            ).alias("sim"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+    return _cut_and_rerank(
+        scored, corpus, queries, n_cand, k, id_col, vec_col,
+        query_id_col, query_vec_col, sim_scale,
     )

@@ -38,8 +38,9 @@ _SPLIT = "1997-01-01"
 def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance with EXACT algebra:
     day-level per-nation revenue for settled history (o_orderdate <
-    1997-01-01) is materialized to a parquet state table
-    (construction, idempotent overwrite); the query loads that state,
+    1997-01-01) is materialized ONCE to a parquet state table
+    (construction; reruns reuse the completed state — the settled
+    slice is immutable by definition); the query loads that state,
     aggregates ONLY the delta days from the fact table, and merges
     both to month level.  The oracle is the full recompute — the
     driver hash proves merged-incremental ≡ recompute, the contract
@@ -78,9 +79,15 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"ex9_incr_agg_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    daily(orders.filter(F.col("o_orderdate") < _SPLIT)).write.mode(
-        "overwrite"
-    ).parquet(store)
+    # Materialize-once (same contract as the layout/bucketed ingests):
+    # the settled slice is immutable by definition, so a completed
+    # state table is REUSED — this is the operator's entire point; the
+    # first run pays the settled scan, every later run reads
+    # months×nations rows and scans only the delta days.
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        daily(orders.filter(F.col("o_orderdate") < _SPLIT)).write.mode(
+            "overwrite"
+        ).parquet(store)
     settled = spark.read.parquet(store)
     delta = daily(orders.filter(F.col("o_orderdate") >= _SPLIT))
     return (
@@ -135,7 +142,7 @@ def _pagerank_oracle(n_iter: int) -> str:
         SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS rank FROM nodes
     ),
     {','.join(steps)}
-    SELECT node, rank FROM {prev} ORDER BY node
+    SELECT node, ROUND(rank, 6) AS rank FROM {prev} ORDER BY node
     """
 
 
@@ -149,9 +156,11 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is O(edges) per round, ranks stay (node, double) narrow,
     and the LEFT join keeps sink nodes (no inbound edges) at their
     teleport mass.  The oracle unrolls the same three iterations as
-    chained CTEs, so this iterative algorithm is hash-checked exactly
+    chained CTEs, so this iterative algorithm is hash-checked
     rather than registered rows-only (every round is a fixed
-    algebraic map — no RNG, no engine-specific state).
+    algebraic map — no RNG, no engine-specific state); ranks round to
+    6 decimals in BOTH forms because cross-engine partial-sum order
+    differs in the last ulps after three SUM(rank/degree) rounds.
 
     Complements connected components (operators/graph.py): CC is the
     fixpoint-loop tier with a convergence signature; this is the
@@ -205,4 +214,6 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.orderBy("node")
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
+        "node"
+    )

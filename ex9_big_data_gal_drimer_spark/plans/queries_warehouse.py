@@ -28,7 +28,7 @@ from .registry import register
         FROM orders WHERE o_custkey % 3 <> 0 GROUP BY o_custkey
     ),
     inserts AS (
-        SELECT c_custkey + 1000000 AS c_custkey, 'I' AS op,
+        SELECT -c_custkey AS c_custkey, 'I' AS op,
                ROUND(new_acctbal / 10, 2) AS new_acctbal
         FROM changes WHERE op = 'U' AND c_custkey % 97 = 0
     ),
@@ -61,8 +61,11 @@ def cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch is populated at every scale factor: customers ≡0 (mod 3)
     get no change row (kept), ≡0 (mod 11) among the rest are deletes,
     the remainder are balance updates, and every 97th updated key
-    also ships a synthetic insert under key+1_000_000 (the
-    unmatched-insert branch).  Returns the per-status audit rollup of
+    also ships a synthetic insert under the NEGATED key (TPC-H keys
+    are positive at every SF, so synthetic keys can never collide
+    with real ones — an additive offset would at ~SF 7, breaking the
+    change set's one-row-per-key contract).  Returns the per-status
+    audit rollup of
     the merged snapshot (the verification row a MERGE job emits), so
     the driver hash covers row routing AND payload arithmetic."""
     from ..operators.merge import merge_apply
@@ -81,7 +84,7 @@ def cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = changes.filter(
         (F.col("op") == "U") & (F.col("c_custkey") % 97 == 0)
     ).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (-F.col("c_custkey")).alias("c_custkey"),
         F.lit("I").alias("op"),
         F.round(F.col("new_acctbal") / 10, 2).alias("new_acctbal"),
     )

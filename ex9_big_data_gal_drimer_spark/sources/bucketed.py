@@ -54,10 +54,20 @@ def ingest_bucketed(
         # the shuffle is paid at ingest and amortized over every later
         # join, so a same-session re-ingest of the same deterministic
         # source is skipped (a fresh session's in-memory catalog has
-        # no entry and rebuilds).
+        # no entry and rebuilds) — but ONLY when the existing table's
+        # bucket layout matches the request; a different num_buckets
+        # or bucket column must rebuild, or the caller would silently
+        # get back exchanges the layout exists to eliminate.
         if spark.catalog.tableExists(table_name):
-            created.append(table_name)
-            continue
+            desc = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+            }
+            if desc.get("Num Buckets") == str(num_buckets) and key in desc.get(
+                "Bucket Columns", ""
+            ):
+                created.append(table_name)
+                continue
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         if location:
             # A fresh session's in-memory catalog has no entry for the

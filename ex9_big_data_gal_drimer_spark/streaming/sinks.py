@@ -70,10 +70,14 @@ def stream_merge_upsert_sink(
     sink (Delta/Iceberg) runs in production.
 
     Exactly-once: merge-accumulate is NOT naturally idempotent (a
-    redelivered batch would double-add), so the snapshot directory
-    records the last applied batch id (`_applied_batch`) and replays
-    are skipped — state transitions are transactional via
-    write-to-temp + atomic directory rename.
+    redelivered batch would double-add), so the last applied batch id
+    is committed INSIDE the snapshot directory itself
+    (`data/_applied_batch`, underscore-prefixed so parquet readers
+    skip it) and the whole snapshot+marker publishes in ONE directory
+    rename — a crash can never observe new data without its marker or
+    vice versa, and a crash between the two renames is recovered by
+    restoring the parked previous snapshot before the replayed batch
+    is re-evaluated.
 
     Scale: per batch ONE map-side pre-aggregation of the micro-batch
     + one key-shuffled merge join against the snapshot; the snapshot
@@ -85,18 +89,34 @@ def stream_merge_upsert_sink(
     from pyspark.sql import functions as F
 
     spark = stream_df.sparkSession
-    marker = os.path.join(state_dir, "_applied_batch")
+    data_dir = os.path.join(state_dir, "data")
+
+    def _applied_batch(d: str) -> int:
+        # The marker lives INSIDE the snapshot dir (underscore-prefixed
+        # → invisible to parquet readers, like _SUCCESS), so snapshot
+        # content and its batch id commit in the SAME directory rename
+        # — there is no window where one exists without the other.
+        try:
+            with open(os.path.join(d, "_applied_batch")) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # redelivered batch: already merged
+        # Crash recovery: a death between the two renames leaves the
+        # previous snapshot parked at _old_* with no data dir — put it
+        # back before deciding anything.
+        if not os.path.exists(data_dir):
+            for name in sorted(os.listdir(state_dir) if os.path.exists(state_dir) else []):
+                if name.startswith("_old_batch_"):
+                    os.rename(os.path.join(state_dir, name), data_dir)
+                    break
+        if batch_id <= _applied_batch(data_dir):
+            return  # redelivered batch: already merged
         batch_agg = batch_df.groupBy(key).agg(
             F.sum(value_col).alias("total_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        data_dir = os.path.join(state_dir, "data")
         if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
             base = spark.read.parquet(data_dir)
         else:
@@ -120,13 +140,15 @@ def stream_merge_upsert_sink(
         ).drop("row_status")
         tmp = os.path.join(state_dir, f"_tmp_batch_{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
+        # Commit the batch id INTO the new snapshot before the swap:
+        # the rename below publishes data + marker atomically.
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
         old = os.path.join(state_dir, f"_old_batch_{batch_id}")
         if os.path.exists(data_dir):
             os.rename(data_dir, old)
         os.rename(tmp, data_dir)
         shutil.rmtree(old, ignore_errors=True)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
