@@ -181,3 +181,45 @@ def test_stream_merge_upsert_sink_accumulates_and_skips_replays(spark, tmp_path)
         for r in read_merge_state(spark, state).collect()
     }
     assert again == got
+
+
+def test_stream_merge_sink_recovers_parked_snapshot(spark, tmp_path):
+    """Crash-window recovery: a death between the two directory
+    renames leaves the snapshot parked at _old_batch_* with no data
+    dir.  The next run must restore it BEFORE evaluating the
+    redelivered batches — the marker inside the restored snapshot
+    then skips them, leaving state byte-identical."""
+    import os
+    import shutil
+
+    from ex9_big_data_gal_drimer_spark.streaming.sinks import (
+        read_merge_state,
+        stream_merge_upsert_sink,
+    )
+    from ex9_big_data_gal_drimer_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    from conftest import SF_DIR
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    state = str(tmp_path / "state")
+
+    q = stream_merge_upsert_sink(
+        read_events_stream(spark, str(src)), state, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    before = sorted(map(tuple, read_merge_state(spark, state).collect()))
+
+    # Simulate the mid-swap crash: previous snapshot parked, no data.
+    os.rename(os.path.join(state, "data"), os.path.join(state, "_old_batch_7"))
+
+    q2 = stream_merge_upsert_sink(
+        read_events_stream(spark, str(src)), state, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, read_merge_state(spark, state).collect()))
+    assert after == before and len(after) > 0
+    assert not os.path.exists(os.path.join(state, "_old_batch_7"))
