@@ -160,13 +160,34 @@ def pq_encode(
 
 
 
-def _query_adc_tables(queries, books, dim, query_id_col, query_vec_col):
+#: (applicationId, cache_key) → (q_ids, tables); like _FIT_MEMO, the
+#: tables are a deterministic function of the (memoized) model and the
+#: deterministic query set, so re-collecting them per plan
+#: construction is pure overhead.
+_TABLES_MEMO: dict = {}
+
+
+def _query_adc_tables(
+    queries, books, dim, query_id_col, query_vec_col, cache_key=None
+):
     """(q_ids, {qid: m×k ADC table}) — exact subspace L2 distances of
     each query to every codeword, built as ONE vectorized pass LINEAR
     in query count (the per-(query, subspace) comprehension this
-    replaced recomputed the full nq×k matrix per query — O(nq²))."""
+    replaced recomputed the full nq×k matrix per query — O(nq²)).
+
+    `cache_key` must identify the (model, QUERY SET) pair — callers
+    here derive both deterministically from sf_dir; pass None for any
+    ad-hoc query set."""
     import numpy as np
 
+    memo_key = None
+    if cache_key is not None:
+        memo_key = (
+            queries.sparkSession.sparkContext.applicationId,
+            cache_key, len(books), len(books[0]),
+        )
+        if memo_key in _TABLES_MEMO:
+            return _TABLES_MEMO[memo_key]
     m = len(books)
     d_sub = dim // m
     B = [np.asarray(b) for b in books]
@@ -180,7 +201,10 @@ def _query_adc_tables(queries, books, dim, query_id_col, query_vec_col):
             for s in range(m)
         ]
     )  # m × nq × k
-    return q_ids, {qid: per_s[:, qi, :] for qi, qid in enumerate(q_ids)}
+    out = (q_ids, {qid: per_s[:, qi, :] for qi, qid in enumerate(q_ids)})
+    if memo_key is not None:
+        _TABLES_MEMO[memo_key] = out
+    return out
 
 
 def _cut_and_rerank(
@@ -270,7 +294,7 @@ def pq_adc_topk(
         )
     )
     q_ids, tables = _query_adc_tables(
-        queries, books, dim, query_id_col, query_vec_col
+        queries, books, dim, query_id_col, query_vec_col, cache_key=cache_key
     )
     n_cand = rerank_factor * k
 
@@ -359,7 +383,7 @@ def ivfpq_topk(
         )
     )
     _, tables = _query_adc_tables(
-        queries, books, dim, query_id_col, query_vec_col
+        queries, books, dim, query_id_col, query_vec_col, cache_key=cache_key
     )
     n_cand = rerank_factor * k
 
