@@ -199,3 +199,53 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaked_docs"),
     )
+
+
+@register(
+    "training_mix_by_lang",
+    oracle="""
+    WITH sampled AS (
+        SELECT lang, n_chars,
+               CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS n_repeats
+        FROM documents
+        WHERE doc_id % 10 < CASE WHEN lang = 'en' THEN 8 ELSE 4 END
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_sampled,
+           CAST(SUM(n_repeats) AS BIGINT) AS n_docs_in_mix,
+           CAST(SUM(n_chars * n_repeats) AS BIGINT) AS chars_in_mix
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def training_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-language sampling quotas (en
+    keeps 8/10 docs, other languages 4/10) plus epoch upsampling (en
+    repeats 2×) — the two knobs every pretraining data recipe turns
+    (domain/language weighting and repeat factors).  Selection is
+    DETERMINISTIC (doc_id modulus, no RNG), so the mix is
+    reproducible AND the oracle checks it exactly; the scale default
+    for non-reproducible proportions is `sampleBy`
+    (sample_fractions_lineitem).  Upsampling is explode(sequence) —
+    rows fan out map-side, no shuffle until the audit rollup; the
+    emitted audit (docs sampled, docs in mix after repeats, chars in
+    mix) is what a mix-builder job reports against its token-budget
+    targets."""
+    docs = table(spark, sf_dir, "documents")
+    quota = F.when(F.col("lang") == "en", 8).otherwise(4)
+    repeats = F.when(F.col("lang") == "en", 2).otherwise(1)
+    mix = (
+        docs.filter(F.col("doc_id") % 10 < quota)
+        .withColumn("n_repeats", repeats)
+        .withColumn("__epoch", F.explode(F.sequence(F.lit(1), F.col("n_repeats"))))
+    )
+    return (
+        mix.groupBy("lang")
+        .agg(
+            (F.count(F.lit(1)) / F.first("n_repeats")).cast("long").alias(
+                "n_docs_sampled"
+            ),
+            F.count(F.lit(1)).alias("n_docs_in_mix"),
+            F.sum("n_chars").alias("chars_in_mix"),
+        )
+        .orderBy("lang")
+    )
