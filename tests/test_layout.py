@@ -187,3 +187,28 @@ def test_zorder_layout_skips_on_both_columns(spark):
     assert s_part > 0.9, f"single-sort should NOT prune partkeys: {s_part}"
     # single-sort prunes its own column better than zorder does
     assert s_date <= z_date + 1e-9
+
+
+def test_zorder_key_bit_interleave_exact(spark):
+    """zorder_key on known small ints: bit b of column i lands at
+    output position b·n+i (Morton order), checked against a Python
+    reference for an exhaustive 8×8 grid."""
+    from ex9_big_data_gal_drimer_spark.sources.layout import zorder_key
+
+    def ref(a, b, bits=3):
+        out = 0
+        for bit in range(bits):
+            out |= ((a >> bit) & 1) << (bit * 2)
+            out |= ((b >> bit) & 1) << (bit * 2 + 1)
+        return out
+
+    rows = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b",
+            zorder_key([F.col("a"), F.col("b")], bits=3).alias("z"),
+        ).collect()
+    }
+    assert got == {(a, b): ref(a, b) for a, b in rows}

@@ -103,3 +103,64 @@ def test_scd2_intervals_partition_the_timeline(spark):
         assert sum(1 for _, to in iv if to is None) == 1
         for (_, to), (nxt_from, _) in zip(iv, iv[1:]):
             assert to == nxt_from
+
+
+def test_scd2_property_random_streams(spark):
+    """Property: scd2_intervals on randomized per-key value streams
+    equals an independent Python run-length reference (hypothesis)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    stream = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.sampled_from(["A", "B", "C"]),          # value
+        ),
+        min_size=0,
+        max_size=20,
+    )
+
+    def reference(rows):
+        # rows arrive as (key, value) in ts order 0..n-1 per insertion
+        per_key: dict = {}
+        for ts, (k, v) in enumerate(rows):
+            per_key.setdefault(k, []).append((ts, v))
+        out = []
+        for k, seq in per_key.items():
+            starts = [
+                (ts, v)
+                for i, (ts, v) in enumerate(seq)
+                if i == 0 or seq[i - 1][1] != v
+            ]
+            for i, (ts, v) in enumerate(starts):
+                valid_to = starts[i + 1][0] if i + 1 < len(starts) else None
+                out.append((k, v, ts, valid_to))
+        return sorted(out)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=stream)
+    def check(rows):
+        from ex9_big_data_gal_drimer_spark.operators.merge import (
+            scd2_intervals,
+        )
+
+        df = spark.createDataFrame(
+            [(k, ts, v) for ts, (k, v) in enumerate(rows)] or [(None,) * 3],
+            "k LONG, ts LONG, val STRING",
+        ).filter(F.col("k").isNotNull())
+        got = sorted(
+            map(
+                tuple,
+                scd2_intervals(
+                    df, key="k", ts_col="ts", value_col="val",
+                    tiebreak_col="ts",
+                ).collect(),
+            )
+        )
+        assert got == reference(rows)
+
+    check()
