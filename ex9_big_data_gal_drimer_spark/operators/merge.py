@@ -119,3 +119,49 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """CDC feed GENERATION — the inverse of :func:`merge_apply`: diff
+    two snapshots into a minimal change set (key, op, payload):
+
+    - key only in `new`                      -> 'I' (+ new payload)
+    - key only in `old`                      -> 'D'
+    - in both with any payload difference    -> 'U' (+ new payload)
+    - in both, payloads null-safe equal      -> no row
+
+    Law (property-tested): ``merge_apply(old, snapshot_diff(old, new))``
+    reproduces `new` exactly — diff and merge are inverse halves of
+    snapshot replication, which is how a warehouse ships incremental
+    state to downstream consumers instead of full copies.
+
+    Scale shape: one co-partitioned full-outer join on the key and a
+    null-safe struct comparison; the emitted feed is change-sized,
+    not snapshot-sized.
+    """
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    in_old = F.col(f"o.{key}").isNotNull()
+    in_new = F.col(f"n.{key}").isNotNull()
+    same = F.lit(True)
+    for c in payload_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(~same, F.lit("U"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+            op.alias("op"),
+            *[F.col(f"n.{c}").alias(c) for c in payload_cols],
+        )
+        .filter(F.col("op").isNotNull())
+    )

@@ -302,3 +302,67 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH newsnap AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN ROUND(c_acctbal + 100, 2) ELSE c_acctbal END
+                   AS c_acctbal
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT -c_custkey, ROUND(c_acctbal / 2, 2)
+        FROM customer WHERE c_custkey % 31 = 0
+    ),
+    diff AS (
+        SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'I'
+                    WHEN n.c_custkey IS NULL THEN 'D'
+                    WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'U'
+               END AS op
+        FROM customer o FULL JOIN newsnap n ON o.c_custkey = n.c_custkey
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_changes,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM diff WHERE op IS NOT NULL GROUP BY op ORDER BY op
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed generation — operators/merge.py::snapshot_diff, the
+    inverse of cdc_merge_customers' merge_apply.  A perturbed
+    customer snapshot (every 13th key dropped, every 7th balance
+    bumped, every 31st key re-inserted negated) diffs against the
+    original into a minimal change feed; the audit rollup counts
+    I/U/D rows (unchanged keys emit NOTHING — the feed is
+    change-sized).  The merge∘diff round-trip law (applying the feed
+    reproduces the new snapshot exactly) is property-tested in
+    tests/test_warehouse.py."""
+    from ..operators.merge import snapshot_diff
+
+    old = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changed = old.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    inserted = old.filter(F.col("c_custkey") % 31 == 0).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
+        F.round(F.col("c_acctbal") / 2, 2).alias("c_acctbal"),
+    )
+    new = changed.unionByName(inserted)
+    feed = snapshot_diff(old, new, key="c_custkey", payload_cols=["c_acctbal"])
+    return (
+        feed.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("op")
+    )

@@ -164,3 +164,46 @@ def test_scd2_property_random_streams(spark):
         assert got == reference(rows)
 
     check()
+
+
+def test_diff_then_merge_roundtrip_property(spark):
+    """The replication law: merge_apply(old, snapshot_diff(old, new))
+    must reproduce `new` exactly, over randomized snapshot pairs
+    (hypothesis) — diff and merge are inverse halves."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ex9_big_data_gal_drimer_spark.operators.merge import snapshot_diff
+
+    snap = st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(old=snap, new=snap)
+    def check(old, new):
+        old_df = spark.createDataFrame(
+            [(k, v) for k, v in old.items()] or [(None, None)],
+            "k LONG, v DOUBLE",
+        ).filter(F.col("k").isNotNull())
+        new_df = spark.createDataFrame(
+            [(k, v) for k, v in new.items()] or [(None, None)],
+            "k LONG, v DOUBLE",
+        ).filter(F.col("k").isNotNull())
+        feed = snapshot_diff(old_df, new_df, key="k", payload_cols=["v"])
+        replayed = merge_apply(
+            old_df,
+            feed,
+            key="k",
+            set_cols={"v": F.col("c.v")},
+            insert_cols={"v": F.col("c.v")},
+        ).select("k", "v")
+        assert {r["k"]: r["v"] for r in replayed.collect()} == new
+
+    check()
