@@ -127,7 +127,8 @@ _DRIVER_PRIORITY: list[str] = [
 #   events_click_nonconverting, robust_price_stats_by_priority,
 #   sorted_layout_rowgroup_skip, zorder_layout_skip,
 #   doc_bigram_logprob, dedup_keep_best_doc,
-#   knn_pq_adc, knn_ivfpq_cosine
+#   knn_pq_adc, knn_ivfpq_cosine, training_mix_by_lang,
+#   snapshot_diff_customers, media_payload_stats_arrow
 
 
 def _reorder_for_driver() -> None:
