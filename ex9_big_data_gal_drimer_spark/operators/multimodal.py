@@ -419,7 +419,9 @@ def payload_stats_arrow(
     from the value offsets alone (no data touched), a byte-histogram
     entropy over the data buffer (one vectorized pass over the
     CONCATENATED buffer, then per-payload reduction via the offsets),
-    and a printable-ASCII fraction heuristic.  The same shape scans
+    and a printable-ASCII fraction heuristic (sizes come from the
+    offsets vectorized; the entropy histogram is a per-payload
+    bincount over the shared data buffer).  The same shape scans
     image/audio/video payloads for corruption/traffic audits at
     100 TB — the work is one sequential pass over raw buffers."""
 
@@ -429,13 +431,9 @@ def payload_stats_arrow(
 
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
-            payload = batch.column(batch.schema.get_field_index(payload_col))
-            # Normalize chunked/sliced layouts to one flat array
-            arr = (
-                payload.combine_chunks()
-                if isinstance(payload, pa.ChunkedArray)
-                else payload
-            )
+            # RecordBatch columns are flat pa.Array by construction
+            # (ChunkedArray exists only on Table) — no normalization.
+            arr = batch.column(batch.schema.get_field_index(payload_col))
             offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
                 arr.offset : arr.offset + len(arr) + 1
             ]
@@ -455,9 +453,7 @@ def payload_stats_arrow(
                 )
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids.combine_chunks()
-                    if isinstance(ids, pa.ChunkedArray)
-                    else ids,
+                    ids,
                     pa.array(sizes, type=pa.int64()),
                     pa.array(np.round(ent, 4), type=pa.float64()),
                     pa.array(printable > 0.95, type=pa.bool_()),

@@ -184,7 +184,7 @@ def _query_adc_tables(
     if cache_key is not None:
         memo_key = (
             queries.sparkSession.sparkContext.applicationId,
-            cache_key, len(books), len(books[0]),
+            cache_key, dim, len(books), len(books[0]),
         )
         if memo_key in _TABLES_MEMO:
             return _TABLES_MEMO[memo_key]

@@ -119,7 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
 # which covers all queries regardless of position.
 #
 # ROUND-4 ROTATION: once CORRECTNESS_r03 banks the list above,
-# re-seat these 15 late-round-3 queries (never driver-checked; all
+# re-seat these 18 late-round-3 queries (never driver-checked; all
 # local-green) at the head of the next window:
 #   cdc_merge_customers, scd2_priority_history, profile_orders_columns,
 #   part_cooccurrence_top20, histogram_order_totals,

@@ -75,10 +75,16 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    store = os.path.join(
-        tempfile.gettempdir(),
-        f"ex9_incr_agg_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    import hashlib
+
+    # Store path keyed by the ABSOLUTE dataset path (hashed), not just
+    # its basename — two datasets whose directories share a basename
+    # must not share state.  Same-path data regeneration still
+    # invalidates only by wiping the tmp store: the driver contract
+    # treats testdata as immutable, the same assumption every
+    # *_fit_or_load / ingest-once path in this repo makes.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = os.path.join(tempfile.gettempdir(), f"ex9_incr_agg_{tag}")
     # Materialize-once (same contract as the layout/bucketed ingests):
     # the settled slice is immutable by definition, so a completed
     # state table is REUSED — this is the operator's entire point; the

@@ -63,9 +63,9 @@ def ingest_bucketed(
                 r["col_name"]: r["data_type"]
                 for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
             }
-            if desc.get("Num Buckets") == str(num_buckets) and key in desc.get(
-                "Bucket Columns", ""
-            ):
+            if desc.get("Num Buckets") == str(num_buckets) and desc.get(
+                "Bucket Columns"
+            ) == f"[`{key}`]":
                 created.append(table_name)
                 continue
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")

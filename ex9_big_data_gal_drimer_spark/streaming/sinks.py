@@ -95,22 +95,34 @@ def stream_merge_upsert_sink(
         # The marker lives INSIDE the snapshot dir (underscore-prefixed
         # → invisible to parquet readers, like _SUCCESS), so snapshot
         # content and its batch id commit in the SAME directory rename
-        # — there is no window where one exists without the other.
+        # — there is no window where one exists without the other.  A
+        # MISSING marker means a virgin state dir (-1); a marker that
+        # exists but cannot be parsed is corruption and must fail loud
+        # (silently treating it as -1 would re-apply the last batch).
+        path = os.path.join(d, "_applied_batch")
         try:
-            with open(os.path.join(d, "_applied_batch")) as fh:
+            with open(path) as fh:
                 return int(fh.read().strip())
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return -1
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         # Crash recovery: a death between the two renames leaves the
-        # previous snapshot parked at _old_* with no data dir — put it
-        # back before deciding anything.
+        # previous snapshot parked at _old_batch_* with no data dir —
+        # restore the NEWEST parked snapshot (numeric batch order; a
+        # lexicographic pick would prefer _old_batch_1 over
+        # _old_batch_10 and resurrect ancient state).
         if not os.path.exists(data_dir):
-            for name in sorted(os.listdir(state_dir) if os.path.exists(state_dir) else []):
-                if name.startswith("_old_batch_"):
-                    os.rename(os.path.join(state_dir, name), data_dir)
-                    break
+            parked = [
+                (int(name.rsplit("_", 1)[-1]), name)
+                for name in (
+                    os.listdir(state_dir) if os.path.exists(state_dir) else []
+                )
+                if name.startswith("_old_batch_")
+            ]
+            if parked:
+                _, newest = max(parked)
+                os.rename(os.path.join(state_dir, newest), data_dir)
         if batch_id <= _applied_batch(data_dir):
             return  # redelivered batch: already merged
         batch_agg = batch_df.groupBy(key).agg(
@@ -148,7 +160,12 @@ def stream_merge_upsert_sink(
         if os.path.exists(data_dir):
             os.rename(data_dir, old)
         os.rename(tmp, data_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        # Clean ALL residue, not just this batch's: a prior crash (or
+        # failed rmtree) may have stranded older parked/temp dirs that
+        # would otherwise confuse a future recovery.
+        for name in os.listdir(state_dir):
+            if name.startswith(("_old_batch_", "_tmp_batch_")):
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

@@ -134,7 +134,11 @@ class _UserStatsProcessor:
             total += float(pdf["value"].sum())
             hi = float(pdf["value"].max())
             batch_hi = hi if batch_hi is None else max(batch_hi, hi)
-        self.totals.update((n, round(total, 2)))
+        # State keeps the RAW float; rounding happens only in the
+        # emitted row — rounding inside the accumulator would compound
+        # per-batch (and Python's half-even round() differs from
+        # F.round's HALF_UP), diverging from the batch fallback.
+        self.totals.update((n, total))
         if batch_hi is not None:
             self.batch_max.appendValue((batch_hi,))
         peak = max((m for (m,) in self.batch_max.get()), default=0.0)
