@@ -1,0 +1,142 @@
+"""SQLite Python DataSource (sources/sqlite_ds.py): schema inference,
+rowid-range partitioning, Arrow-batch reads, and 4.1 filter pushdown.
+
+The reference reads its exported ``small_tables.db`` back with raw
+sqlite3 calls (reference dashboard.py:8-25); here the read side is a
+registered Spark format, so the serving DB participates in real plans.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from ex9_big_data_gal_drimer_spark.sources.sqlite_ds import (
+    register_sqlite_source,
+    sqlite_table_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sqliteds") / "t.db")
+    with sqlite3.connect(path) as c:
+        c.execute(
+            "CREATE TABLE people (id INTEGER, name TEXT, score REAL, payload BLOB)"
+        )
+        c.executemany(
+            "INSERT INTO people VALUES (?,?,?,?)",
+            [
+                (
+                    i,
+                    "100%_match" if i == 500 else f"name{i}",
+                    i * 1.5 if i % 7 else None,
+                    bytes([i % 256]) if i % 3 else None,
+                )
+                for i in range(1000)
+            ],
+        )
+        c.execute("CREATE TABLE empty (x INTEGER)")
+    return path
+
+
+@pytest.fixture(scope="module")
+def sqlite_spark(spark, db):
+    register_sqlite_source(spark)
+    return spark
+
+
+def _read(spark, db, table="people", parts="3"):
+    return (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", table)
+        .option("numPartitions", parts)
+        .load()
+    )
+
+
+def test_schema_inference_affinities(db):
+    schema = sqlite_table_schema(db, "people")
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "bigint",
+        "string",
+        "double",
+        "binary",
+    ]
+
+
+def test_full_scan_roundtrip(sqlite_spark, db):
+    df = _read(sqlite_spark, db)
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 1000
+    assert rows[3].name == "name3" and rows[3].score == 4.5
+    assert rows[7].score is None  # 7 % 7 == 0 → NULL at insert
+    assert rows[6].payload is None and rows[7].payload == bytes([7])
+
+
+def test_partition_count_caps_at_rows(sqlite_spark, db):
+    df = _read(sqlite_spark, db, parts="5000")
+    assert df.rdd.getNumPartitions() == 1000
+    assert df.count() == 1000
+
+
+def test_empty_table(sqlite_spark, db):
+    assert _read(sqlite_spark, db, table="empty").count() == 0
+
+
+def test_filter_pushdown_range_and_prefix(sqlite_spark, db):
+    df = _read(sqlite_spark, db)
+    flt = df.filter((df.id > 990) & df.name.startswith("name99"))
+    assert sorted(r.id for r in flt.collect()) == list(range(991, 1000))
+    # everything compiled into the SQLite WHERE: no residual Filter node
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan sqlite" in plan and "Filter" not in plan.replace(
+        "RuntimeFilters", ""
+    )
+
+
+def test_pushdown_like_escaping(sqlite_spark, db):
+    # contains('%') must match the literal percent, not act as a wildcard
+    df = _read(sqlite_spark, db)
+    got = df.filter(df.name.contains("%")).collect()
+    assert [r.id for r in got] == [500]
+    got2 = df.filter(df.name.endswith("_match")).collect()
+    assert [r.id for r in got2] == [500]
+
+
+def test_pushdown_in_and_null(sqlite_spark, db):
+    df = _read(sqlite_spark, db)
+    assert sorted(
+        r.id for r in df.filter(df.id.isin([5, 7, 9000])).collect()
+    ) == [5, 7]
+    assert df.filter(df.score.isNull()).count() == sum(
+        1 for i in range(1000) if i % 7 == 0
+    )
+
+
+def test_unsupported_filter_falls_back(sqlite_spark, db):
+    # id % 2 == 0 is not a pushable Filter — Spark must evaluate it
+    df = _read(sqlite_spark, db)
+    from pyspark.sql import functions as F
+
+    got = df.filter((F.col("id") % 97 == 0) & (F.col("id") > 0)).collect()
+    assert sorted(r.id for r in got) == [97 * k for k in range(1, 11)]
+
+
+def test_matches_reference_export_path(sqlite_spark, db, tmp_path):
+    """End-to-end with the pipeline's own SQLite export (S9 → S10)."""
+    import pandas as pd
+
+    out = str(tmp_path / "small_tables.db")
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    with sqlite3.connect(out) as conn:
+        pdf.to_sql("t_sample", conn, index=False)
+    back = _read(sqlite_spark, out, table="t_sample", parts="2")
+    assert sorted((r.a, r.b) for r in back.collect()) == [
+        (1, "x"),
+        (2, "y"),
+        (3, "z"),
+    ]
