@@ -29,6 +29,7 @@ from . import queries_bucketed  # noqa: F401,E402
 from . import queries_warehouse  # noqa: F401,E402
 from . import queries_incremental  # noqa: F401,E402
 from . import queries_lm  # noqa: F401,E402
+from . import queries_spark4  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -128,7 +129,9 @@ _DRIVER_PRIORITY: list[str] = [
 #   sorted_layout_rowgroup_skip, zorder_layout_skip,
 #   doc_bigram_logprob, dedup_keep_best_doc,
 #   knn_pq_adc, knn_ivfpq_cosine, training_mix_by_lang,
-#   snapshot_diff_customers, media_payload_stats_arrow
+#   snapshot_diff_customers, media_payload_stats_arrow,
+#   recursive_month_series, sql_udf_doc_score, price_size_regression,
+#   plus anything else added late in round 3 (see git log)
 
 
 def _reorder_for_driver() -> None:
