@@ -272,3 +272,77 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ngram_duplication_audit",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(LOWER(text), ' ') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(w) - 3)) AS u(i)
+        WHERE len(w) >= 5
+    ),
+    per AS (
+        SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY lang, gram
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(n_occ) AS BIGINT) AS dup_occurrences,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs_sharing
+    FROM per WHERE n_docs >= 2
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def ngram_duplication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-5-gram audit — the corpus-level
+    signal behind exact-substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    how many distinct word 5-grams occur in MORE THAN ONE document,
+    and how much total text they account for, per language.
+
+    Unlike the Jaccard/MinHash tiers (whole-document similarity,
+    operators/dedup.py) this measures PHRASE-level leakage — boiler-
+    plate, licenses, templates — that survives document-level dedup.
+
+    Shape: every occurrence (not distinct-per-doc) explodes to one
+    (lang, gram) row; ONE hash aggregate counts occurrences and
+    distinct docs per gram; a second bounded aggregate rolls up per
+    language.  Both stages partial-aggregate map-side; nothing is
+    quadratic — cost is O(total tokens), the same as a word count.
+    At 100 TB the gram domain is large but the shuffle is the
+    already-combined (gram, counts) stream, and a frequency floor
+    (HAVING n_docs >= 2) is applied before the rollup."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        ),
+    ).otherwise(F.array())
+    per_gram = (
+        docs.select("doc_id", "lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        per_gram.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("n_occ").alias("dup_occurrences"),
+            F.max("n_docs").alias("max_docs_sharing"),
+        )
+        .orderBy("lang")
+    )
