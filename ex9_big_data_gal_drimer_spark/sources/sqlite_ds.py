@@ -22,6 +22,13 @@ distributed scan with
   chunks (not per-row tuples), the vectorized path through the
   Python worker.
 
+The write side (``df.write.format("sqlite")``) spills each task to a
+private temp SQLite file and merges them in the driver-side commit
+(the commit-message pattern of a transactional sink), and the stream
+side (``spark.readStream.format("sqlite")``) tails the table by rowid
+high-water mark with Spark-checkpointed offsets — exactly-once
+micro-batches over an append-only operational store.
+
 Scale note: SQLite itself is a single-file serving store — the 100 TB
 design point is not "store 100 TB in SQLite" but "ingest many
 operational SQLite drops in parallel" (one file per partition task,
@@ -38,6 +45,8 @@ from typing import TYPE_CHECKING, Any, Iterator, List, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -51,6 +60,7 @@ from pyspark.sql.datasource import (
     StringContains,
     StringEndsWith,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -228,6 +238,178 @@ class SQLiteReader(DataSourceReader):
                 )
 
 
+@dataclass
+class _TempDbCommit(WriterCommitMessage):
+    """One task's spill: path of its temp SQLite file + row count."""
+
+    path: str
+    rows: int
+
+
+def _sqlite_decl(dt) -> str:
+    """Spark type → SQLite declared type (affinity round-trips through
+    _affinity_to_spark)."""
+    s = dt.simpleString()
+    if s in ("bigint", "int", "smallint", "tinyint", "boolean"):
+        return "INTEGER"
+    if s in ("double", "float") or s.startswith("decimal"):
+        return "REAL"
+    if s == "binary":
+        return "BLOB"
+    return "TEXT"  # strings, dates, timestamps (ISO text)
+
+
+def _to_sqlite_value(v):
+    if isinstance(v, bytearray):
+        return bytes(v)
+    if isinstance(v, bool):
+        return int(v)
+    if hasattr(v, "isoformat"):  # date / datetime
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    return v
+
+
+class SQLiteWriter(DataSourceWriter):
+    """Distributed write into a single-file store: each task spills
+    its partition to a private temp SQLite file (no lock contention —
+    SQLite serializes concurrent writers to one file), and the
+    driver-side ``commit`` merges the spills into the target table
+    via ``ATTACH`` + ``INSERT INTO … SELECT``.  The commit is the
+    only serial section and touches each row once.
+
+    This is the general commit-message pattern of a transactional
+    sink (task spills → atomic driver publish); with SQLite the
+    "cluster" caveat is inherent — the target is a one-host serving
+    file (the reference's ``small_tables.db`` role), so tasks must
+    share a filesystem with the driver, as in local mode."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path") or options.get("url")
+        self.table = options.get("table") or options.get("dbtable")
+        if not self.path or not self.table:
+            raise ValueError("sqlite sink requires options 'path' and 'table'")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _TempDbCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        tmp = f"{self.path}.spill-{pid}-{uuid.uuid4().hex}"
+        cols = ", ".join(
+            '"%s" %s' % (f.name, _sqlite_decl(f.dataType))
+            for f in self.schema.fields
+        )
+        marks = ", ".join("?" for _ in self.schema.fields)
+        n = 0
+        with sqlite3.connect(tmp) as conn:
+            conn.execute(f"CREATE TABLE spill ({cols})")
+            cur = conn.cursor()
+            for row in iterator:
+                cur.execute(
+                    f"INSERT INTO spill VALUES ({marks})",
+                    tuple(_to_sqlite_value(v) for v in row),
+                )
+                n += 1
+        if n == 0:
+            os.unlink(tmp)
+            return _TempDbCommit(path="", rows=0)
+        return _TempDbCommit(path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        cols = ", ".join(
+            '"%s" %s' % (f.name, _sqlite_decl(f.dataType))
+            for f in self.schema.fields
+        )
+        with sqlite3.connect(self.path) as conn:
+            if self.overwrite:
+                conn.execute(f'DROP TABLE IF EXISTS "{self.table}"')
+            conn.execute(f'CREATE TABLE IF NOT EXISTS "{self.table}" ({cols})')
+            for m in messages:
+                if not m or not m.path:
+                    continue
+                conn.execute("ATTACH DATABASE ? AS spill_db", [m.path])
+                conn.execute(
+                    f'INSERT INTO "{self.table}" '
+                    "SELECT * FROM spill_db.spill"
+                )
+                conn.commit()
+                conn.execute("DETACH DATABASE spill_db")
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.unlink(m.path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.unlink(m.path)
+
+
+class SQLiteStreamReader(DataSourceStreamReader):
+    """Micro-batch tail of a SQLite table by rowid high-water mark —
+    the CDC-ish ingestion pattern for any append-only operational
+    store: the offset is ``{"rowid": n}``, ``latestOffset`` advances
+    it to the current ``max(rowid)``, and each batch's (start, end]
+    range splits into rowid-slice partitions exactly like the batch
+    reader.  Offsets are Spark-checkpointed, so a restarted query
+    resumes from the committed high-water mark (exactly-once over an
+    append-only source).  Deletes/updates are out of scope by
+    contract — rowids only grow; a mutable table needs the MERGE
+    sink's snapshot-diff feed (operators/merge.py) instead."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.path = options.get("path") or options.get("url")
+        self.table = options.get("table") or options.get("dbtable")
+        if not self.path or not self.table:
+            raise ValueError("sqlite stream requires options 'path' and 'table'")
+        self.schema = schema
+        self.num_partitions = int(options.get("numpartitions", "4"))
+        self.start_rowid = int(options.get("startingrowid", "0"))
+
+    def initialOffset(self) -> dict:
+        return {"rowid": self.start_rowid}
+
+    def latestOffset(self) -> dict:
+        with sqlite3.connect(self.path) as conn:
+            row = conn.execute(
+                f'SELECT COALESCE(MAX(rowid), 0) FROM "{self.table}"'
+            ).fetchone()
+        return {"rowid": max(int(row[0]), self.start_rowid)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["rowid"]) + 1, int(end["rowid"])
+        if hi < lo:
+            return [_RowidSlice(0, -1)]
+        n = max(1, min(self.num_partitions, hi - lo + 1))
+        span = (hi - lo + 1 + n - 1) // n
+        return [
+            _RowidSlice(lo + i * span, min(hi, lo + (i + 1) * span - 1))
+            for i in range(n)
+        ]
+
+    def read(self, partition: _RowidSlice) -> Iterator[Any]:
+        if partition.hi < partition.lo:
+            return iter(())
+        cols = ", ".join('"%s"' % f.name for f in self.schema.fields)
+        with sqlite3.connect(self.path) as conn:
+            rows = conn.execute(
+                f'SELECT {cols} FROM "{self.table}" '
+                "WHERE rowid BETWEEN ? AND ?",
+                [partition.lo, partition.hi],
+            ).fetchall()
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SQLiteDataSource(DataSource):
     """``spark.read.format("sqlite").option("path", db).option("table", t)``."""
 
@@ -243,6 +425,12 @@ class SQLiteDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SQLiteReader:
         return SQLiteReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> SQLiteWriter:
+        return SQLiteWriter(schema, dict(self.options), overwrite)
+
+    def streamReader(self, schema: StructType) -> SQLiteStreamReader:
+        return SQLiteStreamReader(schema, dict(self.options))
 
 
 def register_sqlite_source(spark: "SparkSession") -> None:

@@ -140,3 +140,99 @@ def test_matches_reference_export_path(sqlite_spark, db, tmp_path):
         (2, "y"),
         (3, "z"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Write side: per-task temp-db spills merged in the driver commit
+# ---------------------------------------------------------------------------
+
+
+def test_writer_overwrite_roundtrip(sqlite_spark, tmp_path):
+    out = str(tmp_path / "sink.db")
+    df = sqlite_spark.range(100).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS score", "CONCAT('u', id) AS name"
+    ).repartition(4)
+    df.write.format("sqlite").option("path", out).option(
+        "table", "t_out"
+    ).mode("overwrite").save()
+    back = _read(sqlite_spark, out, table="t_out", parts="2")
+    assert back.count() == 100
+    got = {r.id: (r.score, r.name) for r in back.collect()}
+    assert got[7] == (10.5, "u7")
+    # no spill residue next to the target
+    import glob
+
+    assert glob.glob(out + ".spill-*") == []
+
+
+def test_writer_append_accumulates(sqlite_spark, tmp_path):
+    out = str(tmp_path / "sink_append.db")
+    base = sqlite_spark.range(10).selectExpr("id")
+    base.write.format("sqlite").option("path", out).option(
+        "table", "t_acc"
+    ).mode("overwrite").save()
+    base.write.format("sqlite").option("path", out).option(
+        "table", "t_acc"
+    ).mode("append").save()
+    assert _read(sqlite_spark, out, table="t_acc").count() == 20
+
+
+def test_writer_overwrite_replaces(sqlite_spark, tmp_path):
+    out = str(tmp_path / "sink_repl.db")
+    for n in (50, 5):
+        sqlite_spark.range(n).write.format("sqlite").option(
+            "path", out
+        ).option("table", "t_repl").mode("overwrite").save()
+    assert _read(sqlite_spark, out, table="t_repl").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Stream side: rowid high-water-mark tail with checkpointed offsets
+# ---------------------------------------------------------------------------
+
+
+def _append_rows(db, table, rows):
+    with sqlite3.connect(db) as c:
+        c.executemany(f"INSERT INTO {table} VALUES (?,?)", rows)
+
+
+def test_stream_tails_only_new_rows(sqlite_spark, tmp_path):
+    db = str(tmp_path / "tail.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE feed (id INTEGER, v TEXT)")
+    _append_rows(db, "feed", [(i, f"a{i}") for i in range(5)])
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def run_batch():
+        stream = (
+            sqlite_spark.readStream.format("sqlite")
+            .option("path", db)
+            .option("table", "feed")
+            .option("numPartitions", "2")
+            .load()
+        )
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: seen.append(
+                    sorted((r.id, r.v) for r in bdf.collect())
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    _append_rows(db, "feed", [(i, f"b{i}") for i in range(5, 8)])
+    run_batch()
+
+    batches = [b for b in seen if b]
+    assert batches[0] == [(i, f"a{i}") for i in range(5)]
+    # the restarted query resumed from the checkpointed high-water
+    # mark: ONLY the three appended rows, no re-delivery
+    assert batches[-1] == [(i, f"b{i}") for i in range(5, 8)]
+    assert sum(len(b) for b in batches) == 8
