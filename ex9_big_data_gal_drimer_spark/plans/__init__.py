@@ -131,7 +131,8 @@ _DRIVER_PRIORITY: list[str] = [
 #   knn_pq_adc, knn_ivfpq_cosine, training_mix_by_lang,
 #   snapshot_diff_customers, media_payload_stats_arrow,
 #   recursive_month_series, sql_udf_doc_score, price_size_regression,
-#   ngram_duplication_audit,
+#   ngram_duplication_audit, triangle_census_cooccurrence,
+#   chi2_status_priority,
 #   plus anything else added late in round 3 (see git log)
 
 

@@ -70,3 +70,100 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), F.col("component").cast("long"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "triangle_census_cooccurrence",
+    oracle="""
+    WITH e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           tri.n_triangles,
+           ROUND(3.0 * tri.n_triangles /
+                 NULLIF((SELECT SUM(d * (d - 1) / 2) FROM deg), 0),
+                 6) AS global_clustering
+    FROM tri
+    """,
+)
+def triangle_census_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the part
+    co-occurrence graph (support ≥ 2) — the third graph primitive
+    next to connected components (fixpoint) and PageRank (fixed
+    budget): triangles need NO iteration, just the canonical
+    ordered 3-way self-join (e1.u<e1.v=e2.u<e2.v, closing edge
+    looked up directly), so each triangle is counted exactly once.
+
+    Scale shape: the support floor (HAVING ≥ 2) is the classic edge
+    sparsifier — it bounds the join fan-out before any pair math; the
+    wedge count comes from degrees alone (no joins); all three legs
+    of the triangle join are equi-joins on vertex keys that co-locate
+    under one hash partitioning of the cached edge set.  The same
+    census over a near-dup doc graph distinguishes clique-like
+    template families (high clustering) from chain-like drift
+    (low clustering) before choosing a dedup policy."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .cache()  # read by 3 triangle legs + the degree count
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        triangles.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -297,3 +297,74 @@ def robust_price_stats_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "chi2_status_priority",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT s, SUM(n) AS rn FROM cells GROUP BY s),
+    ct AS (SELECT p, SUM(n) AS cn FROM cells GROUP BY p),
+    tot AS (SELECT SUM(n) AS t FROM cells),
+    grid AS (
+        SELECT rt.s, ct.p, rt.rn, ct.cn, tot.t,
+               COALESCE(cells.n, 0.0) AS n
+        FROM rt CROSS JOIN ct CROSS JOIN tot
+        LEFT JOIN cells ON cells.s = rt.s AND cells.p = ct.p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) - 1 FROM rt) *
+                (SELECT COUNT(*) - 1 FROM ct) AS BIGINT) AS dof,
+           ROUND(SUM(POW(n - rn * cn / t, 2) / (rn * cn / t)), 4) AS chi2
+    FROM grid
+    """,
+)
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between order status
+    and priority — the categorical-association screen a feature-
+    selection / drift-detection pass runs over every column pair.
+
+    Shape: ONE scan builds the observed contingency cells; row
+    totals, column totals and the grand total are tiny derived
+    aggregates; the expected grid is the CROSS JOIN of the two
+    marginal vectors (bounded by |statuses|x|priorities|, broadcast-
+    sized by construction) LEFT JOINed back to the observed cells so
+    ZERO-observed cells still contribute their full expected mass —
+    the correctness detail a naive observed-cells-only sum misses.
+    Everything after the first aggregate operates on category-domain
+    cardinality, independent of row count."""
+    orders = table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    rt = cells.groupBy("s").agg(F.sum("n").alias("rn"))
+    ct = cells.groupBy("p").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["s", "p"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0.0)))
+    )
+    exp = F.col("rn") * F.col("cn") / F.col("t")
+    dof = (
+        rt.agg((F.count(F.lit(1)) - 1).alias("r1"))
+        .crossJoin(F.broadcast(ct.agg((F.count(F.lit(1)) - 1).alias("c1"))))
+        .select((F.col("r1") * F.col("c1")).alias("dof"))
+    )
+    return (
+        grid.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n_cells", "dof", "chi2")
+    )
