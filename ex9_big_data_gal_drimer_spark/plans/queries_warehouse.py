@@ -369,3 +369,96 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+@register(
+    "dq_contract_orders",
+    oracle="""
+    SELECT 'custkey_not_null' AS check_name,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_in_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'status_accepted_values', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+    UNION ALL
+    SELECT 'totalprice_positive', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'freshness_pre_1998', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ORDER BY check_name
+    """,
+)
+def dq_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract over the orders feed (the dbt-test /
+    Great-Expectations tier): five declarative checks — non-null key,
+    primary-key uniqueness, referential integrity into customer,
+    accepted status values, positive amounts — each reported as a
+    violation COUNT so the contract is a monitorable metric, not a
+    boolean that hides magnitude.
+
+    Scale shape: every check is a filter+count (map-side combinable)
+    or a single-distinct aggregate; referential integrity is a LEFT
+    ANTI join that broadcasts or shuffles on the key like any equi-
+    join — no check is more expensive than one pass over the fact.
+    A CI gate asserts all counts are 0; here the counts ARE the
+    oracle-checked values (0 on conforming TPC-H data, and the
+    accepted-values / FK checks would surface real drift)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("long"),
+        )
+
+    not_null = orders.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("n_violations")
+    )
+    unique = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations")
+    )
+    orphans = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer,
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    accepted = orders.filter(
+        ~F.col("o_orderstatus").isin("O", "F", "P")
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+    positive = orders.filter(F.col("o_totalprice") <= 0).agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    # freshness is a deliberately NON-ZERO metric on this data: an
+    # all-zero contract would hash-match any bug that also returns 0
+    fresh = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+    out = check("custkey_not_null", not_null)
+    for name, df in [
+        ("orderkey_unique", unique),
+        ("custkey_in_customer", orphans),
+        ("status_accepted_values", accepted),
+        ("totalprice_positive", positive),
+        ("freshness_pre_1998", fresh),
+    ]:
+        out = out.unionByName(check(name, df))
+    return out.orderBy("check_name")

@@ -42,6 +42,8 @@ def _values_equal(a, b) -> bool:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_window = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    report: dict[str, dict] = {}
 
     spark = SparkSession.builder.master("local[8]").appName("preflight").getOrCreate()
     import __spark_entry__ as entry_mod
@@ -53,23 +55,37 @@ def main() -> int:
 
     fails = []
     for name in list(queries)[:n_window]:
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = row
         try:
             sdf = queries[name](spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
+            row["spark_rows"] = len(srows)
             if name not in oracles:
+                row["err"] = "no_oracle"
                 print(f"  rows-only {name}: {len(srows)} rows")
                 continue
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
-            if sorted(sdf.columns) != sorted(ocols):
+            row["oracle_rows"] = len(orows)
+            row["schema_match"] = sorted(sdf.columns) == sorted(ocols)
+            if not row["schema_match"]:
                 fails.append((name, f"schema {sdf.columns} vs {ocols}"))
                 continue
             sidx = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
             oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
             s = sorted((tuple(r[i] for i in sidx) for r in srows), key=_sort_key)
             o = sorted((tuple(r[i] for i in oidx) for r in orows), key=_sort_key)
-            if len(s) != len(o):
+            row["rows_match"] = len(s) == len(o)
+            if not row["rows_match"]:
                 fails.append((name, f"rows {len(s)} vs {len(o)}"))
                 continue
             bad = [
@@ -77,14 +93,22 @@ def main() -> int:
                 for x, y in zip(s, o)
                 if not all(_values_equal(a, b) for a, b in zip(x, y))
             ]
+            row["hash_match"] = not bad
             if bad:
                 fails.append((name, f"values e.g. {bad[0]}"))
             else:
                 print(f"  ok        {name}: {len(s)} rows")
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            row["err"] = str(ex)[:200]
             fails.append((name, f"error {str(ex)[:200]}"))
 
     spark.stop()
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {out_json} ({len(report)} queries)")
     print(f"\n{len(fails)} failures")
     for name, why in fails:
         print(f"  FAIL {name}: {why}")
