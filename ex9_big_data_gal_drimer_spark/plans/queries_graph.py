@@ -11,9 +11,10 @@ from ..operators.graph import connected_components
 from .registry import register
 
 
-@register(
-    "dedup_connected_components",
-    oracle="""
+#: Shared recursive-CTE oracle prelude: the near-dup pair graph and
+#: its transitive closure (used by dedup_connected_components and the
+#: group-aware split in queries_training).
+CC_ORACLE_CTES = """
     WITH RECURSIVE toks AS (
         SELECT doc_id, lang, n_chars // 50 AS len_bucket,
                string_split(LOWER(text), ' ') AS t
@@ -40,11 +41,20 @@ from .registry import register
         SELECT a AS node, b AS reachable FROM sym
         UNION
         SELECT r.node, s.b FROM reach r JOIN sym s ON r.reachable = s.a
+    ),
+    comp AS (
+        SELECT node, CAST(LEAST(node, MIN(reachable)) AS BIGINT) AS component
+        FROM reach GROUP BY node
     )
-    SELECT node AS doc_id,
-           CAST(LEAST(node, MIN(reachable)) AS BIGINT) AS component
-    FROM reach
-    GROUP BY node
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=CC_ORACLE_CTES
+    + """
+    SELECT node AS doc_id, component
+    FROM comp
     ORDER BY doc_id
     """,
 )

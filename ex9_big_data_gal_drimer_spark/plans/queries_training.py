@@ -249,3 +249,110 @@ def training_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "group_aware_split",
+    oracle=None,  # assembled below — needs the CC oracle prelude
+)
+def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-free dataset split: documents are split
+    train/validation/test by the content hash of their dup-GROUP's
+    representative (min doc_id of the connected component), so two
+    near-duplicate documents can NEVER land in different splits —
+    the leakage mode `dataset_split_assign`'s per-document hash
+    cannot prevent (exact dups hash identically; near-dups don't).
+
+    Composition of registered operators: near-dup pair graph
+    (inverted-index Jaccard) → connected components → component
+    representative's text hashed with the SAME bucket rule as the
+    per-document split.  Singleton documents are their own
+    representative, so their assignment is unchanged.  The output
+    reports, per split: docs, groups, and how many docs were PULLED
+    ACROSS from their individual-hash split by group gravity
+    (n_reassigned > 0 proves the operator actually moved something).
+
+    Scale: the pair graph + CC are the registered scale paths; the
+    representative join is one equi-join on component id; everything
+    else is the stateless hash map of dataset_split_assign."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    blocked = table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
+    )
+    # identical pair plan to dedup_connected_components → CacheManager
+    # shares the cached edge set between the two queries
+    pairs = ngram_jaccard_pairs(
+        blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
+    ).cache()
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    rep = docs.select(
+        F.col("doc_id").alias("component"), F.col("text").alias("rep_text")
+    )
+    labeled = full.join(rep, "component").select(
+        "doc_id",
+        "component",
+        _split_label("rep_text").alias("split"),
+        _split_label("text").alias("own_split"),
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_groups"),
+            F.sum(
+                (F.col("own_split") != F.col("split")).cast("long")
+            ).alias("n_reassigned"),
+        )
+        .orderBy("split")
+    )
+
+
+# The oracle shares the recursive-CTE pair-graph prelude with
+# dedup_connected_components and applies the identical group-
+# representative split rule in SQL.
+from .queries_graph import CC_ORACLE_CTES  # noqa: E402
+from .registry import ORACLES  # noqa: E402
+
+_REP_BUCKET = (
+    "CAST(('0x' || substring(md5(trim(rep_text)), 1, 8)) AS BIGINT) % 100"
+)
+_OWN_BUCKET = (
+    "CAST(('0x' || substring(md5(trim(f.text)), 1, 8)) AS BIGINT) % 100"
+)
+
+ORACLES["group_aware_split"] = (
+    CC_ORACLE_CTES
+    + f"""
+    , full_assign AS (
+        SELECT d.doc_id, d.text,
+               COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    labeled AS (
+        SELECT f.doc_id, f.component,
+               CASE WHEN {_REP_BUCKET} < 80 THEN 'train'
+                    WHEN {_REP_BUCKET} < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               CASE WHEN {_OWN_BUCKET} < 80 THEN 'train'
+                    WHEN {_OWN_BUCKET} < 90 THEN 'validation'
+                    ELSE 'test' END AS own_split
+        FROM full_assign f
+        JOIN (SELECT doc_id, text AS rep_text FROM documents) r
+          ON r.doc_id = f.component
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN own_split <> split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reassigned
+    FROM labeled
+    GROUP BY split ORDER BY split
+    """
+)

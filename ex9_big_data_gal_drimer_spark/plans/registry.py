@@ -30,6 +30,7 @@ ORACLES: dict[str, str] = {}
 #: from the lazy-construction pin).
 ITERATIVE_CONSTRUCTION: set[str] = {
     "dedup_connected_components",
+    "group_aware_split",
     "sketch_store_rollup",
     "knn_vectorized_cosine",
     "bucketed_join_segment_revenue",
