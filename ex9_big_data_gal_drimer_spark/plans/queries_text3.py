@@ -145,3 +145,71 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "phrase_search_positional",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(LOWER(text), ' ') AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+               CAST(len([i FOR i IN range(1, len(w))
+                         IF w[CAST(i AS INT)] = 'merge'
+                            AND w[CAST(i AS INT) + 1] = 'data'])
+                    AS BIGINT) AS n_occ
+        FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) FILTER (n_occ > 0) AS BIGINT) AS n_docs,
+           CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+    FROM hits
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("merge data") through a POSITIONAL
+    inverted index — the retrieval primitive BM25 ranking
+    (bm25_rank_docs) can't express: posexplode(tokens) builds
+    postings (doc_id, pos, token); the phrase is an equi-join between
+    the two token-filtered posting slices on (doc_id, adjacent
+    positions).
+
+    Scale shape: each phrase term filters its posting slice BEFORE
+    the join (selectivity = term frequency, pushed to the index
+    scan); the join is equi on doc_id + position arithmetic — never
+    a text re-scan.  A persisted postings table amortizes the build
+    across queries (build once, search many — the layout ingest
+    pattern of sources/layout.py applied to text).  The oracle counts
+    adjacent-token matches with a per-document list comprehension —
+    same semantics, no index, and immune to the substring false
+    matches a LIKE '%…%' restatement would admit."""
+    docs = table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    )
+    p0 = postings.filter(F.col("token") == "merge").alias("p0")
+    p1 = postings.filter(F.col("token") == "data").alias("p1")
+    matches = p0.join(
+        p1,
+        (F.col("p0.doc_id") == F.col("p1.doc_id"))
+        & (F.col("p1.pos") == F.col("p0.pos") + 1),
+    ).select(F.col("p0.doc_id").alias("doc_id"), F.col("p0.lang").alias("lang"))
+    per_doc = matches.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    all_docs = docs.select("doc_id", "lang").join(
+        per_doc.select("doc_id", "n_occ"), "doc_id", "left"
+    ).withColumn("n_occ", F.coalesce(F.col("n_occ"), F.lit(0)))
+    return (
+        all_docs.groupBy("lang")
+        .agg(
+            F.sum((F.col("n_occ") > 0).cast("long")).alias("n_docs"),
+            F.sum("n_occ").alias("n_occurrences"),
+        )
+        .orderBy("lang")
+    )
