@@ -83,3 +83,49 @@ class PngChunkWalk:
             if ctype == b"IEND":
                 return
             pos, index = data_end + 4, index + 1
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4 `analyze`): output schema computed from the
+# call's CONSTANT arguments at plan time.
+# ---------------------------------------------------------------------------
+
+
+def _token_windows_udtf():
+    """Build the TokenWindows UDTF class (deferred so importing this
+    module never requires a SparkSession).
+
+    ``token_windows(text, n)`` emits every n-token sliding window as a
+    row with n TYPED COLUMNS t1..tn — the schema is derived from the
+    constant ``n`` by the static ``analyze`` hook, so one function
+    serves every window width with full column typing (the dynamic-
+    schema half of the UDTF tier; png_chunks above is the fixed-schema
+    half).  The n-column layout is the feature-ready form of
+    chunk_documents' string chunks: each window position is its own
+    column, directly usable as model inputs."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TokenWindows:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None or int(n.value) < 1:
+                raise ValueError("token_windows: n must be a constant >= 1")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"t{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = (text or "").split()
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    return TokenWindows
+
+
+def register_token_windows(spark) -> None:
+    """Register ``token_windows`` as a SQL table function."""
+    spark.udtf.register("token_windows", _token_windows_udtf())

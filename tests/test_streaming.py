@@ -14,6 +14,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from ex9_big_data_gal_drimer_spark.catalog import load_table
 from ex9_big_data_gal_drimer_spark.streaming.windows import (
@@ -233,3 +234,76 @@ def test_transform_with_state_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
+    """Late-data accounting: rows older than the watermark horizon are
+    DROPPED (not silently aggregated), and the drop is observable in
+    the progress metrics (numRowsDroppedByWatermark) — the
+    monitorability contract late-arriving data needs at scale.
+
+    Three micro-batches (maxFilesPerTrigger=1): batch 0 establishes
+    the watermark, batch 1 advances and COMMITS it (the late filter
+    applies the committed watermark — rows arriving in the very batch
+    after the one that raised it can still sneak in), batch 2 delivers
+    events hours older.  The stale rows must not reach the result and
+    must be counted as dropped."""
+    import datetime as dt
+    import time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        time.sleep(1.1)  # file source orders batches by mtime
+
+    write_file(
+        "a.parquet",
+        [(1, "click", base + dt.timedelta(minutes=m), 1.0) for m in range(5)],
+    )
+    write_file("b.parquet", [(4, "click", base + dt.timedelta(minutes=6), 1.0)])
+    write_file(
+        "c.parquet",
+        [
+            (2, "click", base - dt.timedelta(hours=5), 1.0),
+            (3, "click", base - dt.timedelta(hours=6), 1.0),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_drop_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 2, f"expected 2 late rows dropped, saw {dropped}"
+    got = spark.sql(
+        "SELECT window.start AS start, n FROM late_drop_counts"
+    ).collect()
+    # only the 12:00 window was ever emitted; the stale rows
+    # contributed nothing
+    assert {r.start for r in got} == {dt.datetime(2024, 1, 1, 12, 0)}
+    assert max(r.n for r in got) == 6

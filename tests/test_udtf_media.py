@@ -61,3 +61,61 @@ def test_audit_query_counts_match_corpus(spark):
     n = by_type["IHDR"]["n_chunks"]
     assert all(r["n_chunks"] == n and r["n_crc_ok"] == n for r in rows)
     assert all(r["n_truncated"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF + Arrow-optimized scalar Python UDF tiers
+# ---------------------------------------------------------------------------
+
+
+def test_polymorphic_udtf_schema_tracks_constant_arg(spark):
+    """analyze() derives the output schema from the call site: the
+    same function yields 2 or 3 typed columns depending on n."""
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        register_token_windows,
+    )
+
+    register_token_windows(spark)
+    three = spark.sql("SELECT * FROM token_windows('a b c d', 3)")
+    assert three.columns == ["t1", "t2", "t3"]
+    assert [tuple(r) for r in three.collect()] == [
+        ("a", "b", "c"),
+        ("b", "c", "d"),
+    ]
+    two = spark.sql("SELECT * FROM token_windows('a b c d', 2)")
+    assert two.columns == ["t1", "t2"]
+    assert len(two.collect()) == 3
+
+
+def test_polymorphic_udtf_lateral_over_table(spark):
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        register_token_windows,
+    )
+
+    register_token_windows(spark)
+    got = spark.sql(
+        """
+        SELECT d.id, w.t1, w.t2
+        FROM VALUES (1, 'x y z'), (2, 'p q') AS d(id, s),
+             LATERAL token_windows(d.s, 2) AS w
+        """
+    ).collect()
+    assert sorted((r.id, r.t1, r.t2) for r in got) == [
+        (1, "x", "y"),
+        (1, "y", "z"),
+        (2, "p", "q"),
+    ]
+
+
+def test_arrow_optimized_scalar_udf(spark):
+    """The Spark-4 Arrow-optimized scalar Python UDF (useArrow=True)
+    runs through ArrowEvalPython — Arrow batch transfer without the
+    pandas_udf signature change; completes the Python boundary tier
+    next to row-UDF (avoided), pandas_udf, and mapInArrow."""
+    from pyspark.sql import functions as F
+
+    doubled = F.udf(lambda x: x * 2.0, "double", useArrow=True)
+    df = spark.range(8).select(doubled(F.col("id").cast("double")).alias("y"))
+    assert [r.y for r in df.collect()] == [float(2 * i) for i in range(8)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
