@@ -230,3 +230,65 @@ def events_enriched_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "event_type")
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               array_agg(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vs,
+                 (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                           + CAST(0.7 AS DOUBLE) * acc), 4) AS ewma_value
+    FROM seq
+    ORDER BY ewma_value DESC, user_id
+    LIMIT 15
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.3), seeded with the first observation — the recency-
+    weighted health/engagement score a monitoring rollup keeps per
+    key.  EWMA is a SEQUENTIAL recurrence (each step depends on the
+    previous), so no windowed SUM expresses it; the engine form is
+    collect-per-key + a JVM `aggregate` fold over the time-ordered
+    array — a per-KEY sequential scan, fully parallel ACROSS keys.
+
+    Scale: state per key is that key's event list — bounded by
+    per-user activity, not corpus size (same contract as the grouped-
+    map resample).  For unbounded keys the streaming twin is
+    applyInPandasWithState keeping just the running scalar.  The
+    oracle runs the identical fold with DuckDB's list_reduce; both
+    folds evaluate in the same time order, so values agree to float
+    precision."""
+    events = table(spark, sf_dir, "events")
+    seq = (
+        events.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(0.3) * x + F.lit(0.7) * acc
+        ),
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.size("seq").cast("long").alias("n_events"),
+            F.round(ewma, 4).alias("ewma_value"),
+        )
+        .orderBy(F.desc("ewma_value"), "user_id")
+        .limit(15)
+    )
