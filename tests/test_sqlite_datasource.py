@@ -236,3 +236,66 @@ def test_stream_tails_only_new_rows(sqlite_spark, tmp_path):
     # mark: ONLY the three appended rows, no re-delivery
     assert batches[-1] == [(i, f"b{i}") for i in range(5, 8)]
     assert sum(len(b) for b in batches) == 8
+
+
+# ---------------------------------------------------------------------------
+# Property: write → read roundtrip preserves the row multiset
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cells = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.text(max_size=20),  # unicode incl. quotes/%/_
+    st.binary(max_size=20),
+)
+_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), _cells, _cells), min_size=0, max_size=25
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows)
+def test_writer_reader_roundtrip_property(sqlite_spark, tmp_path_factory, rows):
+    """Arbitrary generated values — None / ints / ±inf floats /
+    unicode (quotes, %, _) / bytes — rendered into string and binary
+    columns survive sink → source unchanged as a multiset, across a
+    3-partition write and a 2-partition read."""
+    spark = sqlite_spark
+    out = str(tmp_path_factory.mktemp("prop") / "prop.db")
+    def as_str(v):
+        return None if v is None else (v.hex() if isinstance(v, bytes) else str(v))
+
+    def as_bytes(v):
+        return None if v is None else (v if isinstance(v, bytes) else str(v).encode())
+
+    df = spark.createDataFrame(
+        [(i, as_str(x), as_bytes(b)) for i, x, b in rows],
+        "id long, x string, y binary",
+    ).repartition(3)
+    df.write.format("sqlite").option("path", out).option("table", "t").mode(
+        "overwrite"
+    ).save()
+    back = (
+        spark.read.format("sqlite")
+        .option("path", out)
+        .option("table", "t")
+        .option("numPartitions", "2")
+        .load()
+    )
+    want = sorted(
+        ((r.id, r.x, bytes(r.y) if r.y is not None else None) for r in df.collect()),
+        key=repr,
+    )
+    got = sorted(
+        ((r.id, r.x, bytes(r.y) if r.y is not None else None) for r in back.collect()),
+        key=repr,
+    )
+    assert got == want
