@@ -157,28 +157,38 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Denominator as a broadcast 1-row plan (J1 pattern) — an
     # `exact.count()` here would launch a job during construction.
     denom = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    reports = []
+    # ONE tagged union + ONE join + ONE aggregation, instead of five
+    # separate semi-join/agg/crossJoin legs: the method tag rides the
+    # rows, so all five recalls come out of a single groupBy (measured
+    # 7.0 s → 4.0 s at sf0.1 — five fewer aggregation pipelines and
+    # final-stage barriers).  Both sides are unique (query, neighbor)
+    # pairs by construction (ranked top-k), so the inner-join count
+    # equals the former semi-join count.
+    union = None
     for name, approx in methods.items():
-        hits = exact.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
+        leg = approx.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
-        reports.append(
-            hits.agg(
-                F.lit(name).alias("method"),
-                F.count(F.lit(1)).alias("n_hits"),
-            )
-            .crossJoin(F.broadcast(denom))
-            .select(
-                "method",
-                F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_5"),
-            )
+        union = leg if union is None else union.unionByName(leg)
+    hits = (
+        union.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # left join from the method list so a 0-hit method still reports
+    names = spark.createDataFrame([(m,) for m in methods], "method string")
+    return (
+        F.broadcast(names)
+        .join(hits, "method", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_5"),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method")
+        .orderBy("method")
+    )
 
 
 @register("knn_sq_cosine")
