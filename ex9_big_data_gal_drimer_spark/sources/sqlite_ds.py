@@ -95,15 +95,32 @@ def _affinity_to_spark(decl: str):
 
 def sqlite_table_schema(path: str, table: str) -> StructType:
     """Infer a Spark schema from ``PRAGMA table_info`` (driver-side,
-    metadata only)."""
+    metadata only).  View columns built from expressions carry NO
+    declared type; those fall back to sampling ``typeof()`` of the
+    first non-NULL value (one indexed-free probe per untyped column —
+    still metadata-scale)."""
     with sqlite3.connect(path) as conn:
         info = conn.execute(f'PRAGMA table_info("{table}")').fetchall()
-    if not info:
-        raise ValueError(f"sqlite table not found: {table!r} in {path}")
-    fields = [
-        StructField(name, _affinity_to_spark(decl), True)
-        for (_cid, name, decl, _notnull, _default, _pk) in info
-    ]
+        if not info:
+            raise ValueError(f"sqlite table not found: {table!r} in {path}")
+        fields = []
+        for _cid, name, decl, _notnull, _default, _pk in info:
+            if (decl or "").strip():
+                dt = _affinity_to_spark(decl)
+            else:
+                qcol = name.replace('"', '""')
+                row = conn.execute(
+                    f'SELECT typeof("{qcol}") FROM "{table}" '
+                    f'WHERE "{qcol}" IS NOT NULL LIMIT 1'
+                ).fetchone()
+                sampled = row[0] if row else None
+                dt = {
+                    "integer": LongType(),
+                    "real": DoubleType(),
+                    "text": StringType(),
+                    "blob": BinaryType(),
+                }.get(sampled, StringType())
+            fields.append(StructField(name, dt, True))
     return StructType(fields)
 
 
@@ -113,6 +130,14 @@ class _RowidSlice(InputPartition):
 
     lo: int
     hi: int
+
+
+@dataclass
+class _FullScan(InputPartition):
+    """Single-partition fallback for sources with no rowid — WITHOUT
+    ROWID tables and views can't be range-partitioned by rowid."""
+
+    reason: str
 
 
 def _compile_filter(f: Filter) -> tuple[str, list] | None:
@@ -184,12 +209,25 @@ class SQLiteReader(DataSourceReader):
     # -- planning -------------------------------------------------------
     def partitions(self) -> Sequence[InputPartition]:
         with sqlite3.connect(self.path) as conn:
-            row = conn.execute(
-                f'SELECT min(rowid), max(rowid) FROM "{self.table}"'
-            ).fetchone()
-        lo, hi = row
-        if lo is None:  # empty table → one no-op slice
-            return [_RowidSlice(0, -1)]
+            try:
+                row = conn.execute(
+                    f'SELECT min(rowid), max(rowid) FROM "{self.table}"'
+                ).fetchone()
+            except sqlite3.OperationalError as ex:
+                # WITHOUT ROWID table: no rowid to slice on → correct
+                # single-partition scan instead of a crash
+                return [_FullScan(reason=str(ex)[:100])]
+            lo, hi = row
+            if lo is None:
+                # NULL rowid bounds: either an empty table or a VIEW
+                # (views answer rowid as NULL instead of erroring) —
+                # only the empty case may skip the scan
+                has_rows = conn.execute(
+                    f'SELECT EXISTS(SELECT 1 FROM "{self.table}")'
+                ).fetchone()[0]
+                if has_rows:
+                    return [_FullScan(reason="null rowid bounds (view)")]
+                return [_RowidSlice(0, -1)]
         n = max(1, min(self.num_partitions, hi - lo + 1))
         span = (hi - lo + 1 + n - 1) // n
         return [
@@ -198,17 +236,22 @@ class SQLiteReader(DataSourceReader):
         ]
 
     # -- execution (one task per rowid slice) ---------------------------
-    def read(self, partition: _RowidSlice) -> Iterator[Any]:
+    def read(self, partition: InputPartition) -> Iterator[Any]:
         import pyarrow as pa
 
         cols = ", ".join('"%s"' % f.name for f in self.schema.fields)
-        sql = (
-            f'SELECT {cols} FROM "{self.table}" '
-            f"WHERE rowid BETWEEN ? AND ?"
-        )
-        params: list = [partition.lo, partition.hi]
+        if isinstance(partition, _FullScan):
+            sql = f'SELECT {cols} FROM "{self.table}"'
+            params: list = []
+        else:
+            sql = (
+                f'SELECT {cols} FROM "{self.table}" '
+                f"WHERE rowid BETWEEN ? AND ?"
+            )
+            params = [partition.lo, partition.hi]
         if self._where:
-            sql += f" AND ({self._where})"
+            glue = " WHERE " if isinstance(partition, _FullScan) else " AND "
+            sql += f"{glue}({self._where})"
             params.extend(self._params)
         arrow_fields = []
         for f in self.schema.fields:

@@ -299,3 +299,26 @@ def test_writer_reader_roundtrip_property(sqlite_spark, tmp_path_factory, rows):
         key=repr,
     )
     assert got == want
+
+
+def test_without_rowid_and_view_fall_back_to_full_scan(sqlite_spark, tmp_path):
+    """WITHOUT ROWID tables and views have no rowid to slice on; the
+    source must degrade to a correct single-partition scan (with
+    pushdown still applied) instead of crashing at planning."""
+    db = str(tmp_path / "norowid.db")
+    with sqlite3.connect(db) as c:
+        c.execute(
+            "CREATE TABLE kv (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID"
+        )
+        c.executemany(
+            "INSERT INTO kv VALUES (?,?)", [(f"k{i}", i) for i in range(50)]
+        )
+        c.execute("CREATE VIEW kv_doubled AS SELECT k, v * 2 AS v FROM kv")
+    t = _read(sqlite_spark, db, table="kv", parts="4")
+    assert t.rdd.getNumPartitions() == 1
+    assert t.count() == 50
+    flt = t.filter(t.v >= 48)
+    assert sorted((r.k, r.v) for r in flt.collect()) == [("k48", 48), ("k49", 49)]
+    view = _read(sqlite_spark, db, table="kv_doubled", parts="4")
+    assert view.count() == 50
+    assert view.filter(view.v == 98).collect()[0].k == "k49"
