@@ -133,7 +133,7 @@ _DRIVER_PRIORITY: list[str] = [
 #   recursive_month_series, sql_udf_doc_score, price_size_regression,
 #   ngram_duplication_audit, triangle_census_cooccurrence,
 #   chi2_status_priority, dq_contract_orders, group_aware_split,
-#   phrase_search_positional, ewma_user_value,
+#   phrase_search_positional, ewma_user_value, bitmap_distinct_rollup,
 #   plus anything else added late in round 3 (see git log)
 
 

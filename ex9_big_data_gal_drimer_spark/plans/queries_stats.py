@@ -368,3 +368,51 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("n_cells", "dof", "chi2")
     )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers
+    FROM orders
+    GROUP BY 1 ORDER BY month
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count rollup via bitmap aggregates
+    (Spark 3.5 bitmap_construct_agg / bitmap_or_agg / bitmap_count) —
+    the roaring-bitmap pattern that complements the HLL tier
+    (`hll_sketch_rollup`): same build-fine/merge-coarse shape, but
+    bit-per-key state instead of a probabilistic sketch, so the
+    month-level answer obtained by OR-ing day-level bitmaps is
+    EXACTLY COUNT(DISTINCT) — which is why this one is value-hash
+    oracle-checkable while the HLL twin is rows-only.
+
+    Scale tradeoff vs HLL: bitmap state grows with the KEY DOMAIN
+    (one bit per possible key, bucketed 32k bits per row), HLL state
+    is fixed ~KB at any cardinality — bitmaps win on dense integer
+    keys (exactness, cheap OR), HLL wins on unbounded/string keys.
+    Day-level bitmap rows are the persistable increment; the month
+    merge never rescans the fact."""
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("month", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    monthly = daily.groupBy("month", "bucket").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n_in_bucket")
+    )
+    return (
+        monthly.groupBy("month")
+        .agg(F.sum("n_in_bucket").alias("distinct_customers"))
+        .orderBy("month")
+    )
