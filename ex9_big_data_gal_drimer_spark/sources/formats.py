@@ -59,3 +59,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read ORC; schema comes from the file footer (self-describing,
     unlike JSONL)."""
     return spark.read.orc(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Write as XML (Spark 4 built-in source — previously the external
+    spark-xml package).  One element per row under ``row_tag``; like
+    JSONL it is a text interchange format, so timestamps pin the
+    microsecond ISO format for a lossless round-trip."""
+    (
+        df.write.mode("overwrite")
+        .options(rowTag=row_tag, **_TS_OPTS)
+        .format("xml")
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType, row_tag: str = "row"
+) -> DataFrame:
+    """Read XML with an EXPLICIT schema (inference would scan the
+    input once, same rule as JSONL).  XML is the least splittable of
+    the text formats (row boundaries are tags, not newlines) — fine
+    for config/feed ingest, convert to parquet before heavy use."""
+    return (
+        spark.read.schema(schema)
+        .options(rowTag=row_tag, **_TS_OPTS)
+        .format("xml")
+        .load(path)
+    )

@@ -223,3 +223,19 @@ def test_stream_merge_sink_recovers_parked_snapshot(spark, tmp_path):
     after = sorted(map(tuple, read_merge_state(spark, state).collect()))
     assert after == before and len(after) > 0
     assert not os.path.exists(os.path.join(state, "_old_batch_7"))
+
+
+def test_xml_roundtrip_orders(spark, tmp_path):
+    """XML (Spark-4 built-in) write → schema-explicit read is lossless
+    for orders, timestamps included."""
+    from ex9_big_data_gal_drimer_spark.sources.formats import (
+        read_xml,
+        write_xml,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_xml")
+    write_xml(orders, path, row_tag="order")
+    back = read_xml(spark, path, orders.schema, row_tag="order")
+    assert back.schema == orders.schema
+    assert _sorted_rows(back) == _sorted_rows(orders)
