@@ -120,8 +120,10 @@ _DRIVER_PRIORITY: list[str] = [
 # which covers all queries regardless of position.
 #
 # ROUND-4 ROTATION: once CORRECTNESS_r03 banks the list above,
-# re-seat these 18 late-round-3 queries (never driver-checked; all
-# local-green) at the head of the next window:
+# re-seat these 29 late-round-3 queries (never driver-checked; all
+# local-green, and every oracle-bearing one is hash-green in the
+# committed CORRECTNESS_LOCAL_r03.json full-registry sweep) at the
+# head of the next window:
 #   cdc_merge_customers, scd2_priority_history, profile_orders_columns,
 #   part_cooccurrence_top20, histogram_order_totals,
 #   incremental_agg_maintenance, pagerank_part_cooccurrence,
