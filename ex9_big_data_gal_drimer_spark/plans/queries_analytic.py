@@ -237,7 +237,7 @@ def events_enriched_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
         SELECT user_id,
-               array_agg(value ORDER BY ts, event_id) AS vs
+               array_agg(value ORDER BY ts, event_id, value) AS vs
         FROM events GROUP BY user_id
     )
     SELECT user_id,
@@ -264,8 +264,10 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     map resample).  For unbounded keys the streaming twin is
     applyInPandasWithState keeping just the running scalar.  The
     oracle runs the identical fold with DuckDB's list_reduce; both
-    folds evaluate in the same time order, so values agree to float
-    precision."""
+    folds evaluate in the same time order — the oracle's ORDER BY
+    carries value as a final tie-break to mirror sort_array's full
+    struct ordering even if (ts, event_id) ever duplicates — so
+    values agree to float precision."""
     events = table(spark, sf_dir, "events")
     seq = (
         events.groupBy("user_id")

@@ -62,9 +62,9 @@ def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on DATA and a driver loop with explicit convergence
     checks is the honest form."""
     register_views(spark, sf_dir, tables=("orders",))
-    # default cteRecursionLevelLimit is 100 levels; one level per
-    # calendar month, so raise it for datasets spanning > 8 years
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
+    # cteRecursionLevelLimit (one level per calendar month) is raised
+    # engine-wide in session.RUNTIME_CONF, applied by register_views'
+    # configure() call — no per-query session mutation here
     return spark.sql(
         """
         WITH RECURSIVE series AS (

@@ -37,6 +37,9 @@ from pyspark.sql import SparkSession
 RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # one recursion level per calendar month in recursive_month_series;
+    # the 100-level default caps the series at ~8 years of data
+    "spark.sql.cteRecursionLevelLimit": "2000",
 }
 
 #: Plan-shape preferences — NOT forced by :func:`configure`.  AQE is

@@ -99,8 +99,9 @@ def sqlite_table_schema(path: str, table: str) -> StructType:
     declared type; those fall back to sampling ``typeof()`` of the
     first non-NULL value (one indexed-free probe per untyped column —
     still metadata-scale)."""
+    qtable = '"%s"' % table.replace('"', '""')
     with sqlite3.connect(path) as conn:
-        info = conn.execute(f'PRAGMA table_info("{table}")').fetchall()
+        info = conn.execute(f"PRAGMA table_info({qtable})").fetchall()
         if not info:
             raise ValueError(f"sqlite table not found: {table!r} in {path}")
         fields = []
@@ -108,10 +109,10 @@ def sqlite_table_schema(path: str, table: str) -> StructType:
             if (decl or "").strip():
                 dt = _affinity_to_spark(decl)
             else:
-                qcol = name.replace('"', '""')
+                qcol = '"%s"' % name.replace('"', '""')
                 row = conn.execute(
-                    f'SELECT typeof("{qcol}") FROM "{table}" '
-                    f'WHERE "{qcol}" IS NOT NULL LIMIT 1'
+                    f"SELECT typeof({qcol}) FROM {qtable} "
+                    f"WHERE {qcol} IS NOT NULL LIMIT 1"
                 ).fetchone()
                 sampled = row[0] if row else None
                 dt = {
@@ -140,15 +141,54 @@ class _FullScan(InputPartition):
     reason: str
 
 
+def _qident(name: str) -> str:
+    """Double-quote a SQLite identifier, escaping embedded quotes."""
+    return '"%s"' % name.replace('"', '""')
+
+
+def _arrow_type(dt, col_name: str):
+    """Spark type → Arrow type for the scan batches.  Supports the
+    types SQLite storage classes can faithfully carry (integers of
+    any width, floats, boolean-as-int, text, blob); anything else in
+    a USER-SUPPLIED schema (dates, timestamps, arrays, …) raises a
+    clear planning-time error instead of an opaque Arrow failure
+    mid-scan."""
+    import pyarrow as pa
+
+    s = dt.simpleString()
+    mapping = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+    }
+    if s not in mapping:
+        raise ValueError(
+            f"sqlite source: unsupported type {s!r} for column "
+            f"{col_name!r}; supported: {sorted(mapping)}"
+        )
+    return mapping[s]
+
+
 def _compile_filter(f: Filter) -> tuple[str, list] | None:
     """Compile one Spark Filter to (sql_fragment, params), or None if
-    unsupported.  Only top-level columns (single-part paths) compile;
-    LIKE wildcards in the value are escaped so Contains/StartsWith
-    match literally."""
+    unsupported.  Only top-level columns (single-part paths) compile.
+
+    String predicates deliberately AVOID SQLite's LIKE: LIKE is
+    case-INSENSITIVE for ASCII, while Spark's startswith / endswith /
+    contains are case-sensitive — and a pushed filter is never
+    re-evaluated by Spark, so a LIKE translation would silently admit
+    wrong-case rows.  substr() / instr() comparisons are
+    case-sensitive and need no wildcard escaping at all."""
     attr = getattr(f, "attribute", None)
     if attr is None or len(attr) != 1:
         return None
-    col = '"%s"' % attr[0].replace('"', '""')
+    col = _qident(attr[0])
     if isinstance(f, EqualTo):
         return f"{col} = ?", [f.value]
     if isinstance(f, GreaterThan):
@@ -169,13 +209,16 @@ def _compile_filter(f: Filter) -> tuple[str, list] | None:
         return f"{col} IS NULL", []
     if isinstance(f, IsNotNull):
         return f"{col} IS NOT NULL", []
-    esc = lambda s: s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")  # noqa: E731
-    if isinstance(f, StringStartsWith):
-        return f"{col} LIKE ? ESCAPE '\\'", [esc(f.value) + "%"]
-    if isinstance(f, StringEndsWith):
-        return f"{col} LIKE ? ESCAPE '\\'", ["%" + esc(f.value)]
-    if isinstance(f, StringContains):
-        return f"{col} LIKE ? ESCAPE '\\'", ["%" + esc(f.value) + "%"]
+    if isinstance(f, (StringStartsWith, StringEndsWith, StringContains)):
+        if f.value == "":
+            # Spark: ''.startswith/endswith/contains is true for any
+            # non-null string; SQLite substr/instr disagree on ''
+            return f"{col} IS NOT NULL", []
+        if isinstance(f, StringStartsWith):
+            return f"substr({col}, 1, {len(f.value)}) = ?", [f.value]
+        if isinstance(f, StringEndsWith):
+            return f"substr({col}, -{len(f.value)}) = ?", [f.value]
+        return f"instr({col}, ?) > 0", [f.value]
     return None
 
 
@@ -211,7 +254,7 @@ class SQLiteReader(DataSourceReader):
         with sqlite3.connect(self.path) as conn:
             try:
                 row = conn.execute(
-                    f'SELECT min(rowid), max(rowid) FROM "{self.table}"'
+                    f"SELECT min(rowid), max(rowid) FROM {_qident(self.table)}"
                 ).fetchone()
             except sqlite3.OperationalError as ex:
                 # WITHOUT ROWID table: no rowid to slice on → correct
@@ -223,7 +266,7 @@ class SQLiteReader(DataSourceReader):
                 # (views answer rowid as NULL instead of erroring) —
                 # only the empty case may skip the scan
                 has_rows = conn.execute(
-                    f'SELECT EXISTS(SELECT 1 FROM "{self.table}")'
+                    f"SELECT EXISTS(SELECT 1 FROM {_qident(self.table)})"
                 ).fetchone()[0]
                 if has_rows:
                     return [_FullScan(reason="null rowid bounds (view)")]
@@ -239,13 +282,13 @@ class SQLiteReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[Any]:
         import pyarrow as pa
 
-        cols = ", ".join('"%s"' % f.name for f in self.schema.fields)
+        cols = ", ".join(_qident(f.name) for f in self.schema.fields)
         if isinstance(partition, _FullScan):
-            sql = f'SELECT {cols} FROM "{self.table}"'
+            sql = f"SELECT {cols} FROM {_qident(self.table)}"
             params: list = []
         else:
             sql = (
-                f'SELECT {cols} FROM "{self.table}" '
+                f"SELECT {cols} FROM {_qident(self.table)} "
                 f"WHERE rowid BETWEEN ? AND ?"
             )
             params = [partition.lo, partition.hi]
@@ -253,17 +296,10 @@ class SQLiteReader(DataSourceReader):
             glue = " WHERE " if isinstance(partition, _FullScan) else " AND "
             sql += f"{glue}({self._where})"
             params.extend(self._params)
-        arrow_fields = []
-        for f in self.schema.fields:
-            if isinstance(f.dataType, LongType):
-                t = pa.int64()
-            elif isinstance(f.dataType, DoubleType):
-                t = pa.float64()
-            elif isinstance(f.dataType, BinaryType):
-                t = pa.binary()
-            else:
-                t = pa.string()
-            arrow_fields.append(pa.field(f.name, t))
+        arrow_fields = [
+            pa.field(f.name, _arrow_type(f.dataType, f.name))
+            for f in self.schema.fields
+        ]
         arrow_schema = pa.schema(arrow_fields)
         with sqlite3.connect(self.path) as conn:
             cur = conn.execute(sql, params)
@@ -272,13 +308,23 @@ class SQLiteReader(DataSourceReader):
                 if not rows:
                     break
                 columns = list(zip(*rows)) if rows else [[] for _ in arrow_fields]
-                yield pa.record_batch(
-                    [
-                        pa.array(columns[i], type=arrow_fields[i].type)
-                        for i in range(len(arrow_fields))
-                    ],
-                    schema=arrow_schema,
-                )
+                arrays = []
+                for i, af in enumerate(arrow_fields):
+                    vals = columns[i]
+                    if pa.types.is_boolean(af.type):
+                        vals = [None if v is None else bool(v) for v in vals]
+                    try:
+                        arrays.append(pa.array(vals, type=af.type))
+                    except pa.ArrowInvalid as ex:
+                        # SQLite's flexible typing permits any value
+                        # type in any column; surface WHICH column's
+                        # declared affinity the data violated
+                        raise ValueError(
+                            f"sqlite column {af.name!r} holds a value "
+                            f"incompatible with its inferred/declared "
+                            f"type {af.type}: {ex}"
+                        ) from ex
+                yield pa.record_batch(arrays, schema=arrow_schema)
 
 
 @dataclass
@@ -303,10 +349,14 @@ def _sqlite_decl(dt) -> str:
 
 
 def _to_sqlite_value(v):
+    import decimal
+
     if isinstance(v, bytearray):
         return bytes(v)
     if isinstance(v, bool):
         return int(v)
+    if isinstance(v, decimal.Decimal):  # DecimalType rows → REAL storage
+        return float(v)
     if hasattr(v, "isoformat"):  # date / datetime
         return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
     return v
@@ -343,20 +393,28 @@ class SQLiteWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         tmp = f"{self.path}.spill-{pid}-{uuid.uuid4().hex}"
         cols = ", ".join(
-            '"%s" %s' % (f.name, _sqlite_decl(f.dataType))
+            "%s %s" % (_qident(f.name), _sqlite_decl(f.dataType))
             for f in self.schema.fields
         )
         marks = ", ".join("?" for _ in self.schema.fields)
         n = 0
-        with sqlite3.connect(tmp) as conn:
-            conn.execute(f"CREATE TABLE spill ({cols})")
-            cur = conn.cursor()
-            for row in iterator:
-                cur.execute(
-                    f"INSERT INTO spill VALUES ({marks})",
-                    tuple(_to_sqlite_value(v) for v in row),
-                )
-                n += 1
+        try:
+            with sqlite3.connect(tmp) as conn:
+                conn.execute(f"CREATE TABLE spill ({cols})")
+                cur = conn.cursor()
+                for row in iterator:
+                    cur.execute(
+                        f"INSERT INTO spill VALUES ({marks})",
+                        tuple(_to_sqlite_value(v) for v in row),
+                    )
+                    n += 1
+        except BaseException:
+            # a failed/killed task produces no commit message, so
+            # neither commit() nor abort() would ever learn this
+            # path — clean the partial spill here or it leaks forever
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         if n == 0:
             os.unlink(tmp)
             return _TempDbCommit(path="", rows=0)
@@ -364,25 +422,49 @@ class SQLiteWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import os
+        import uuid
 
         cols = ", ".join(
-            '"%s" %s' % (f.name, _sqlite_decl(f.dataType))
+            "%s %s" % (_qident(f.name), _sqlite_decl(f.dataType))
             for f in self.schema.fields
         )
-        with sqlite3.connect(self.path) as conn:
-            if self.overwrite:
-                conn.execute(f'DROP TABLE IF EXISTS "{self.table}"')
-            conn.execute(f'CREATE TABLE IF NOT EXISTS "{self.table}" ({cols})')
+        target = _qident(self.table)
+        staging_name = f"{self.table}__staging_{uuid.uuid4().hex[:8]}"
+        staging = _qident(staging_name)
+        # Stage every spill into a private table first; the PUBLISH is
+        # then one SQLite transaction (DDL is transactional), so a
+        # crash mid-commit leaves the ORIGINAL table intact — never a
+        # half-merged target.
+        conn = sqlite3.connect(self.path, isolation_level=None)
+        try:
+            conn.execute(f"CREATE TABLE {staging} ({cols})")
             for m in messages:
                 if not m or not m.path:
                     continue
                 conn.execute("ATTACH DATABASE ? AS spill_db", [m.path])
-                conn.execute(
-                    f'INSERT INTO "{self.table}" '
-                    "SELECT * FROM spill_db.spill"
-                )
-                conn.commit()
+                conn.execute(f"INSERT INTO {staging} SELECT * FROM spill_db.spill")
                 conn.execute("DETACH DATABASE spill_db")
+            conn.execute("BEGIN IMMEDIATE")
+            if self.overwrite:
+                conn.execute(f"DROP TABLE IF EXISTS {target}")
+                conn.execute(f"ALTER TABLE {staging} RENAME TO {target}")
+            else:
+                conn.execute(f"CREATE TABLE IF NOT EXISTS {target} ({cols})")
+                conn.execute(f"INSERT INTO {target} SELECT * FROM {staging}")
+                conn.execute(f"DROP TABLE {staging}")
+            conn.execute("COMMIT")
+        except BaseException:
+            try:
+                conn.execute("ROLLBACK")
+            except sqlite3.Error:
+                pass
+            try:
+                conn.execute(f"DROP TABLE IF EXISTS {staging}")
+            except sqlite3.Error:
+                pass
+            raise
+        finally:
+            conn.close()
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.unlink(m.path)
@@ -422,7 +504,7 @@ class SQLiteStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         with sqlite3.connect(self.path) as conn:
             row = conn.execute(
-                f'SELECT COALESCE(MAX(rowid), 0) FROM "{self.table}"'
+                f"SELECT COALESCE(MAX(rowid), 0) FROM {_qident(self.table)}"
             ).fetchone()
         return {"rowid": max(int(row[0]), self.start_rowid)}
 
@@ -440,10 +522,10 @@ class SQLiteStreamReader(DataSourceStreamReader):
     def read(self, partition: _RowidSlice) -> Iterator[Any]:
         if partition.hi < partition.lo:
             return iter(())
-        cols = ", ".join('"%s"' % f.name for f in self.schema.fields)
+        cols = ", ".join(_qident(f.name) for f in self.schema.fields)
         with sqlite3.connect(self.path) as conn:
             rows = conn.execute(
-                f'SELECT {cols} FROM "{self.table}" '
+                f"SELECT {cols} FROM {_qident(self.table)} "
                 "WHERE rowid BETWEEN ? AND ?",
                 [partition.lo, partition.hi],
             ).fetchall()

@@ -322,3 +322,91 @@ def test_without_rowid_and_view_fall_back_to_full_scan(sqlite_spark, tmp_path):
     view = _read(sqlite_spark, db, table="kv_doubled", parts="4")
     assert view.count() == 50
     assert view.filter(view.v == 98).collect()[0].k == "k49"
+
+
+# ---------------------------------------------------------------------------
+# Review-round regressions: case-sensitive pushdown, identifier quoting,
+# Decimal writes, atomic overwrite
+# ---------------------------------------------------------------------------
+
+
+def test_pushdown_string_predicates_are_case_sensitive(sqlite_spark, tmp_path):
+    """SQLite LIKE is ASCII-case-insensitive; Spark's string predicates
+    are case-sensitive, and pushed filters are never re-checked by
+    Spark — so the pushdown must NOT use LIKE (substr/instr do)."""
+    db = str(tmp_path / "case.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+        c.executemany(
+            "INSERT INTO t VALUES (?,?)",
+            [(1, "Alice"), (2, "alice"), (3, "ALICE"), (4, "malice")],
+        )
+    df = _read(sqlite_spark, db, table="t")
+    assert [r.id for r in df.filter(df.name.startswith("al")).collect()] == [2]
+    assert sorted(
+        r.id for r in df.filter(df.name.endswith("lice")).collect()
+    ) == [1, 2, 4]
+    assert sorted(
+        r.id for r in df.filter(df.name.contains("lic")).collect()
+    ) == [1, 2, 4]
+    # empty needle: true for every non-null string, same as Spark
+    assert df.filter(df.name.contains("")).count() == 4
+
+
+def test_quoted_table_name(sqlite_spark, tmp_path):
+    db = str(tmp_path / "quoted.db")
+    with sqlite3.connect(db) as c:
+        c.execute('CREATE TABLE "weird""name" (x INTEGER)')
+        c.execute('INSERT INTO "weird""name" VALUES (7)')
+    df = _read(sqlite_spark, db, table='weird"name')
+    assert [r.x for r in df.collect()] == [7]
+
+
+def test_writer_decimal_column(sqlite_spark, tmp_path):
+    out = str(tmp_path / "dec.db")
+    df = sqlite_spark.sql(
+        "SELECT id, CAST(id * 1.25 AS DECIMAL(10,2)) AS amt FROM range(4)"
+    )
+    df.write.format("sqlite").option("path", out).option("table", "d").mode(
+        "overwrite"
+    ).save()
+    back = _read(sqlite_spark, out, table="d")
+    assert sorted((r.id, r.amt) for r in back.collect()) == [
+        (0, 0.0),
+        (1, 1.25),
+        (2, 2.5),
+        (3, 3.75),
+    ]
+
+
+def test_overwrite_commit_leaves_no_staging_residue(sqlite_spark, tmp_path):
+    out = str(tmp_path / "atomic.db")
+    for _ in range(2):
+        sqlite_spark.range(20).write.format("sqlite").option(
+            "path", out
+        ).option("table", "t_atomic").mode("overwrite").save()
+    with sqlite3.connect(out) as c:
+        tables = [
+            r[0]
+            for r in c.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            ).fetchall()
+        ]
+    assert tables == ["t_atomic"], tables
+
+
+def test_user_supplied_unsupported_schema_type_is_clear(sqlite_spark, db):
+    from pyspark.sql.utils import AnalysisException
+
+    bad = (
+        sqlite_spark.read.format("sqlite")
+        .schema("id date")
+        .option("path", db)
+        .option("table", "people")
+        .load()
+    )
+    try:
+        bad.collect()
+        raise AssertionError("expected a failure for DateType column")
+    except Exception as ex:  # noqa: BLE001
+        assert "unsupported type" in str(ex) or "DATE" in str(ex).upper()

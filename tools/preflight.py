@@ -55,6 +55,9 @@ def main() -> int:
 
     fails = []
     for name in list(queries)[:n_window]:
+        # "status" disambiguates the dual-use err field (the driver's
+        # format reuses err='no_oracle' for by-design rows-only
+        # entries): ok | rows_only | fail
         row = {
             "rows_match": None,
             "schema_match": None,
@@ -62,6 +65,7 @@ def main() -> int:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            "status": "fail",
         }
         report[name] = row
         try:
@@ -70,6 +74,7 @@ def main() -> int:
             row["spark_rows"] = len(srows)
             if name not in oracles:
                 row["err"] = "no_oracle"
+                row["status"] = "rows_only"
                 print(f"  rows-only {name}: {len(srows)} rows")
                 continue
             cur = con.execute(oracles[name])
@@ -97,6 +102,7 @@ def main() -> int:
             if bad:
                 fails.append((name, f"values e.g. {bad[0]}"))
             else:
+                row["status"] = "ok"
                 print(f"  ok        {name}: {len(s)} rows")
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             row["err"] = str(ex)[:200]
