@@ -366,8 +366,10 @@ class SQLiteWriter(DataSourceWriter):
     """Distributed write into a single-file store: each task spills
     its partition to a private temp SQLite file (no lock contention —
     SQLite serializes concurrent writers to one file), and the
-    driver-side ``commit`` merges the spills into the target table
-    via ``ATTACH`` + ``INSERT INTO … SELECT``.  The commit is the
+    driver-side ``commit`` merges the spills into a private staging
+    table via ``ATTACH`` + ``INSERT INTO … SELECT``, then publishes
+    in ONE SQLite transaction (drop + rename for overwrite) — a crash
+    mid-commit leaves the original table intact.  The commit is the
     only serial section and touches each row once.
 
     This is the general commit-message pattern of a transactional
