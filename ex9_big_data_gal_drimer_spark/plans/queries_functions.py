@@ -116,7 +116,9 @@ def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_segments",
     oracle="""
     SELECT n.n_name AS nation,
-           array_agg(DISTINCT c.c_mktsegment ORDER BY c.c_mktsegment) AS segments,
+           array_to_string(
+               array_agg(DISTINCT c.c_mktsegment ORDER BY c.c_mktsegment), ','
+           ) AS segments,
            COUNT(DISTINCT c.c_mktsegment) AS n_segments
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -127,14 +129,19 @@ def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic ordering: the distinct
     market segments present per nation as a sorted array
-    (collect_set + sort_array ≡ array_agg(DISTINCT ... ORDER BY))."""
+    (collect_set + sort_array ≡ array_agg(DISTINCT ... ORDER BY)),
+    serialized with array_join so the output column is an atomic
+    STRING — the driver's pandas-based hash canonicalizer cannot sort
+    ARRAY cells (round-3 verdict: TypeError unhashable 'list')."""
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
         .orderBy("nation")

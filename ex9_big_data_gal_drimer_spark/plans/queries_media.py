@@ -54,11 +54,18 @@ def media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.mapInPandas(_text_to_ppm, "media_id long, payload binary")
     feats = extract_features(media, num_features=8, real_decoder=True)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
-    ).orderBy("media_id")
+    # One row per (media_id, feature_idx): the driver's pandas-based
+    # canonicalizer cannot hash ARRAY cells (round-3 verdict), so the
+    # feature vector is exploded to atomic columns.
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            F.posexplode("features").alias("feature_idx", "feature_value"),
+        )
+        .withColumn("feature_value", F.round("feature_value", 6))
+        .orderBy("media_id", "feature_idx")
+    )
 
 
 def _text_to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -56,9 +56,10 @@ def test_approx_quantiles_within_one_percent(spark):
     at this test's tiny SF (~300 rows/group) one rank step moves the
     value ~1% — at sf0.01 the measured rel_err is ~1e-4."""
     rows = QUERIES["quantiles_approx_scale_variant"](spark, SF_DIR).collect()
-    assert rows, "expected per-priority rows"
+    # exploded form: one row per (priority, quantile), 4 quantiles each
+    assert rows and len(rows) % 4 == 0, "expected per-(priority, quantile) rows"
     for r in rows:
-        assert all(e is not None and e < 0.02 for e in r["rel_err"]), r
+        assert r["rel_err"] is not None and r["rel_err"] < 0.02, r
 
 
 def test_sorted_layout_skips_rowgroups(spark):

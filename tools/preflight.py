@@ -28,14 +28,44 @@ def _sort_key(row: tuple) -> tuple:
     return tuple((v is None, str(v)) for v in row)
 
 
+def driver_canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Replicate the DRIVER's pandas-based canonicalization of a result
+    set: column-name-sorted projection whose row-sort path hashes every
+    cell (pandas Categorical/factorize).  ARRAY/MAP/STRUCT cells arrive
+    from Spark as Python list/dict/Row values and raise
+    ``TypeError: unhashable type`` here — exactly the round-3 driver
+    crash that the old ``str(v)`` sort keys could never reproduce.
+    Every preflight comparison now flows through this function, so an
+    array-returning query goes red locally before it reaches the gate.
+    """
+    import pandas as pd
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    pdf = pd.DataFrame(
+        [tuple(r[i] for i in order) for r in rows],
+        columns=[cols[i] for i in order],
+    )
+    for c in pdf.columns:
+        # the hash step: factorize == the driver's Categorical path;
+        # intolerant of unhashable (non-atomic) cells by design
+        pd.factorize(pdf[c])
+    out = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return sorted(out, key=_sort_key)
+
+
 def _values_equal(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            fa, fb = float(a), float(b)
         except (TypeError, ValueError):
             return False
+        if math.isnan(fa) or math.isnan(fb):
+            # pandas canon turns NULL into NaN in float columns (both
+            # sides flow through the same canon, so NaN ≡ NULL here)
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
     return a == b
 
 
@@ -73,6 +103,10 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             row["spark_rows"] = len(srows)
             if name not in oracles:
+                # rows-only entries still pass through the driver canon
+                # (the gate canonicalizes every executed result), so an
+                # ARRAY-returning rows-only query must go red here too
+                driver_canon(list(sdf.columns), srows)
                 row["err"] = "no_oracle"
                 row["status"] = "rows_only"
                 print(f"  rows-only {name}: {len(srows)} rows")
@@ -85,10 +119,8 @@ def main() -> int:
             if not row["schema_match"]:
                 fails.append((name, f"schema {sdf.columns} vs {ocols}"))
                 continue
-            sidx = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
-            oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            s = sorted((tuple(r[i] for i in sidx) for r in srows), key=_sort_key)
-            o = sorted((tuple(r[i] for i in oidx) for r in orows), key=_sort_key)
+            s = driver_canon(list(sdf.columns), srows)
+            o = driver_canon(list(ocols), [tuple(r) for r in orows])
             row["rows_match"] = len(s) == len(o)
             if not row["rows_match"]:
                 fails.append((name, f"rows {len(s)} vs {len(o)}"))
