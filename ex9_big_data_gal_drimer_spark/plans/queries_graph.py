@@ -143,7 +143,13 @@ def triangle_census_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
-        .cache()  # read by 3 triangle legs + the degree count
+        # Read by 3 triangle legs + the degree count in ONE plan.
+        # Retention is intentional suite-level sharing: CacheManager
+        # dedupes identical plans across invocations (no double
+        # storage), the edge set is ≤ part-pair-sized, and it drops
+        # with the session; per-sf_dir entries accumulate only across
+        # distinct sf_dirs (bounded by the suite's 3).
+        .cache()
     )
     deg = (
         edges.select(F.col("u").alias("node"))

@@ -282,7 +282,10 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
     )
     # identical pair plan to dedup_connected_components → CacheManager
-    # shares the cached edge set between the two queries
+    # shares the cached edge set between the two queries (and dedupes
+    # repeat invocations — no double storage).  Retention is
+    # intentional suite-level sharing: pair sets are near-dup-sized
+    # (≪ corpus), dropped with the session, one entry per sf_dir.
     pairs = ngram_jaccard_pairs(
         blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
     ).cache()

@@ -423,6 +423,7 @@ class SQLiteWriter(DataSourceWriter):
         return _TempDbCommit(path=tmp, rows=n)
 
     def commit(self, messages) -> None:
+        import glob
         import os
         import uuid
 
@@ -438,7 +439,26 @@ class SQLiteWriter(DataSourceWriter):
         # crash mid-commit leaves the ORIGINAL table intact — never a
         # half-merged target.
         conn = sqlite3.connect(self.path, isolation_level=None)
+        live_spills = {m.path for m in messages if m and m.path}
         try:
+            # Crash hygiene: a hard kill mid-commit of a PREVIOUS run
+            # can orphan a <table>__staging_<hex> table (staged in
+            # autocommit) and *.spill-* temp dbs.  Sweep both before
+            # staging anew — this writer is the only producer of those
+            # names, and a healthy run always drops/unlinks its own.
+            stale = conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+                " AND name LIKE ? ESCAPE '\\'",
+                [self.table.replace("_", r"\_") + r"\_\_staging\_%"],
+            ).fetchall()
+            for (name,) in stale:
+                conn.execute(f"DROP TABLE IF EXISTS {_qident(name)}")
+            for leftover in glob.glob(f"{self.path}.spill-*"):
+                if leftover not in live_spills:
+                    try:
+                        os.unlink(leftover)
+                    except OSError:
+                        pass
             conn.execute(f"CREATE TABLE {staging} ({cols})")
             for m in messages:
                 if not m or not m.path:
@@ -451,8 +471,26 @@ class SQLiteWriter(DataSourceWriter):
                 conn.execute(f"DROP TABLE IF EXISTS {target}")
                 conn.execute(f"ALTER TABLE {staging} RENAME TO {target}")
             else:
+                existing = [
+                    r[1]
+                    for r in conn.execute(
+                        f"PRAGMA table_info({target})"
+                    ).fetchall()
+                ]
+                write_cols = [f.name for f in self.schema.fields]
+                if existing and sorted(existing) != sorted(write_cols):
+                    # Appending by position into a differently-shaped
+                    # table would silently scramble columns; fail loud.
+                    raise ValueError(
+                        f"append schema mismatch for {self.table}: "
+                        f"table has {existing}, write has {write_cols}"
+                    )
                 conn.execute(f"CREATE TABLE IF NOT EXISTS {target} ({cols})")
-                conn.execute(f"INSERT INTO {target} SELECT * FROM {staging}")
+                col_list = ", ".join(_qident(c) for c in write_cols)
+                conn.execute(
+                    f"INSERT INTO {target} ({col_list}) "
+                    f"SELECT {col_list} FROM {staging}"
+                )
                 conn.execute(f"DROP TABLE {staging}")
             conn.execute("COMMIT")
         except BaseException:

@@ -95,21 +95,28 @@ def test_sql_scripting_control_flow(spark):
     """SQL scripting (Spark 4.0 BEGIN/DECLARE/WHILE): procedural
     control flow evaluated by the engine — the migration path for
     stored-procedure-style maintenance jobs."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    rows = spark.sql(
-        """
-        BEGIN
-          DECLARE i INT = 1;
-          DECLARE acc BIGINT = 0;
-          WHILE i <= 100 DO
-            SET acc = acc + i;
-            SET i = i + 1;
-          END WHILE;
-          SELECT acc AS total;
-        END
-        """
-    ).collect()
-    assert rows[0].total == 5050
+    try:
+        rows = spark.sql(
+            """
+            BEGIN
+              DECLARE i INT = 1;
+              DECLARE acc BIGINT = 0;
+              WHILE i <= 100 DO
+                SET acc = acc + i;
+                SET i = i + 1;
+              END WHILE;
+              SELECT acc AS total;
+            END
+            """
+        ).collect()
+        assert rows[0].total == 5050
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 def test_regression_aggregates_partial(spark):

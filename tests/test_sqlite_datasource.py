@@ -177,6 +177,66 @@ def test_writer_append_accumulates(sqlite_spark, tmp_path):
     assert _read(sqlite_spark, out, table="t_acc").count() == 20
 
 
+def test_writer_append_by_name_not_position(sqlite_spark, tmp_path):
+    """Appending into a pre-existing table whose column ORDER differs
+    from the write schema must land values by NAME (positional insert
+    silently scrambled columns before the fix)."""
+    out = str(tmp_path / "sink_byname.db")
+    with sqlite3.connect(out) as c:
+        c.execute("CREATE TABLE t_names (name TEXT, id INTEGER)")
+        c.execute("INSERT INTO t_names VALUES ('seed', 999)")
+    df = sqlite_spark.range(3).selectExpr("id", "CONCAT('u', id) AS name")
+    df.write.format("sqlite").option("path", out).option(
+        "table", "t_names"
+    ).mode("append").save()
+    with sqlite3.connect(out) as c:
+        got = dict(c.execute("SELECT id, name FROM t_names").fetchall())
+    assert got[999] == "seed" and got[1] == "u1" and got[2] == "u2"
+
+
+def test_writer_append_schema_mismatch_errors(sqlite_spark, tmp_path):
+    """Appending into a table with DIFFERENT column names must raise,
+    not write by position."""
+    out = str(tmp_path / "sink_mismatch.db")
+    with sqlite3.connect(out) as c:
+        c.execute("CREATE TABLE t_mm (a INTEGER, b TEXT)")
+    df = sqlite_spark.range(3).selectExpr("id", "CONCAT('u', id) AS name")
+    with pytest.raises(Exception, match="append schema mismatch"):
+        df.write.format("sqlite").option("path", out).option(
+            "table", "t_mm"
+        ).mode("append").save()
+    with sqlite3.connect(out) as c:
+        assert c.execute("SELECT COUNT(*) FROM t_mm").fetchone()[0] == 0
+
+
+def test_commit_sweeps_orphaned_staging_and_spills(sqlite_spark, tmp_path):
+    """A crash mid-commit of a previous run can orphan a
+    <table>__staging_<hex> table and *.spill-* files; the next commit
+    for the same target must sweep them."""
+    out = str(tmp_path / "sink_sweep.db")
+    with sqlite3.connect(out) as c:
+        c.execute("CREATE TABLE t_sw__staging_deadbeef (id INTEGER)")
+        c.execute("CREATE TABLE t_sw_other (id INTEGER)")  # must survive
+    stale_spill = out + ".spill-0-deadbeef"
+    with sqlite3.connect(stale_spill) as c:
+        c.execute("CREATE TABLE spill (id INTEGER)")
+    sqlite_spark.range(5).write.format("sqlite").option("path", out).option(
+        "table", "t_sw"
+    ).mode("overwrite").save()
+    import glob as _glob
+
+    assert _glob.glob(out + ".spill-*") == []
+    with sqlite3.connect(out) as c:
+        names = {
+            r[0]
+            for r in c.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            ).fetchall()
+        }
+    assert "t_sw" in names and "t_sw_other" in names
+    assert not any("__staging_" in n for n in names)
+
+
 def test_writer_overwrite_replaces(sqlite_spark, tmp_path):
     out = str(tmp_path / "sink_repl.db")
     for n in (50, 5):
