@@ -32,6 +32,7 @@ from . import queries_lm  # noqa: F401,E402
 from . import queries_spark4  # noqa: F401,E402
 from . import queries_tpch  # noqa: F401,E402
 from . import queries_analytics4  # noqa: F401,E402
+from . import queries_streaming_state  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -118,9 +119,12 @@ _DRIVER_PRIORITY: list[str] = [
 # r01–r04 driver rows covers every oracle-bearing query in the
 # registry (107 + 23 = 130 of 130).
 #
-# ROUND-5 ROTATION: all oracle-bearing queries will then have banked
-# rows — seat any round-5 additions first, then re-verify the oldest
-# banked rows (r01 vintage) on a rolling basis.
+# ROUND-5 ROTATION: after CORRECTNESS_r04 banks the window above,
+# the only oracle-bearing query without a driver row is
+# merge_sink_upsert_totals (added after the 50 slots were committed;
+# locally hash-green in CORRECTNESS_LOCAL_r04) — seat it first next
+# round, then any round-5 additions, then re-verify the oldest banked
+# rows (r01 vintage) on a rolling basis.
 
 
 def _reorder_for_driver() -> None:

@@ -43,6 +43,8 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "knn_ivfpq_cosine",
     "zorder_layout_skip",
     "ann_recall_report",
+    "state_operator_inventory",
+    "merge_sink_upsert_totals",
 }
 
 

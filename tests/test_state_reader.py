@@ -102,3 +102,37 @@ def test_unflattened_schema_is_key_value_structs(spark, two_batch_state):
     names = [f.name for f in df.schema.fields]
     assert names[:2] == ["key", "value"]
     assert df.schema["key"].dataType.typeName() == "struct"
+
+
+def test_registry_state_operator_inventory(spark):
+    """The driver-visible batch twin (plans/queries_streaming_state):
+    runs a checkpointed windowed agg, then inventories its state."""
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    rows = QUERIES["state_operator_inventory"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    r = rows[0]
+    assert r.operator_id == 0 and r.operator_name == "stateStoreSave"
+    assert r.n_state_keys >= 0
+    # memoized pipeline: second invocation must not re-run the stream
+    rows2 = QUERIES["state_operator_inventory"](spark, SF_DIR).collect()
+    assert [tuple(x) for x in rows2] == [tuple(x) for x in rows]
+
+
+def test_registry_merge_sink_totals_equal_batch(spark):
+    """The MERGE sink's maintained snapshot must equal the plain batch
+    groupBy over the same events (its oracle contract)."""
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    got = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in QUERIES["merge_sink_upsert_totals"](spark, SF_DIR).collect()
+    }
+    want = {
+        r.user_id: (r.tv, r.n)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("tv"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
