@@ -166,3 +166,35 @@ def test_prefix_filter_is_result_identical(spark):
     plain = sorted(tuple(r) for r in ngram_jaccard_pairs(docs).collect())
     pref = sorted(tuple(r) for r in ngram_jaccard_pairs_prefix(docs).collect())
     assert plain == pref
+
+
+def test_ann_recall_report_all_methods_above_floor(spark):
+    """The monitoring row itself (not just its per-method siblings):
+    five methods present, every recall in (0, 1], and the exact-side
+    contract — int8 SQ re-ranked on full precision stays ≥0.9."""
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    rows = {r.method: r.recall_at_5 for r in
+            QUERIES["ann_recall_report"](spark, SF_DIR).collect()}
+    assert set(rows) == {"lsh", "ivf", "sq", "pq", "ivfpq"}
+    assert all(0.0 < v <= 1.0 for v in rows.values()), rows
+    assert rows["sq"] >= 0.9, rows
+
+
+def test_approx_distinct_within_advertised_error(spark):
+    """approx_count_distinct(rsd=0.02) vs the exact counts it sits
+    next to: within 5% (2.5 sigma of the advertised rsd)."""
+    from pyspark.sql import functions as F
+
+    from ex9_big_data_gal_drimer_spark.catalog import load_table
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    row = QUERIES["approx_distinct_scale_variant"](spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("o"),
+        F.countDistinct("l_partkey").alias("p"),
+    ).collect()[0]
+    assert row.exact_orders == exact.o
+    assert abs(row.approx_orders - exact.o) / exact.o < 0.05
+    assert abs(row.approx_parts - exact.p) / exact.p < 0.05
