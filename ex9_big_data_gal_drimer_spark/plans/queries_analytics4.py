@@ -300,36 +300,55 @@ def orders_yoy_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customer_balance_deciles",
     oracle="""
-    WITH d AS (
-        SELECT c_acctbal,
-               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
-        FROM customer
+    WITH g AS (
+        SELECT c_acctbal, COUNT(*) AS cnt FROM customer GROUP BY c_acctbal
+    ), c AS (
+        SELECT c_acctbal, cnt,
+               SUM(cnt) OVER (ORDER BY c_acctbal
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER () AS total
+        FROM g
     )
-    SELECT decile, COUNT(*) AS n_customers,
+    SELECT CAST(FLOOR(10.0 * (cum - cnt) / total) AS BIGINT) + 1 AS decile,
+           CAST(SUM(cnt) AS BIGINT) AS n_customers,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal,
-           ROUND(AVG(c_acctbal), 2) AS avg_bal
-    FROM d GROUP BY decile ORDER BY decile
+           ROUND(SUM(c_acctbal * cnt) / SUM(cnt), 2) AS avg_bal
+    FROM c GROUP BY decile ORDER BY decile
     """,
 )
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance decile table: NTILE over a deterministic total
-    order (balance, custkey tie-break).  The global sort is over the
-    customer dim, not a fact table; at extreme cardinality the same
-    report comes from approx_percentile cut-points + width_bucket
-    (the histogram_order_totals pattern) without a total order."""
+    """Account-balance decile table built the scale-safe way: the raw
+    rows aggregate to (distinct balance, count) FIRST, then the only
+    unpartitioned window (cumulative count) runs over those
+    post-aggregate rows — ≤ #distinct values regardless of row count,
+    satisfying the §4 plan discipline a raw-row NTILE would violate.
+    A row's decile is its cumulative start position ×10/total (ties
+    share a decile by construction).  At extreme value cardinality the
+    same report degrades to approx_percentile cut-points +
+    width_bucket (the histogram_order_totals pattern)."""
     c = table(spark, sf_dir, "customer")
-    d = c.select(
+    g = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy(F.lit(1))
+    d = g.select(
         "c_acctbal",
-        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("decile"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
     )
+    decile = (
+        F.floor(10.0 * (F.col("cum") - F.col("cnt")) / F.col("total")) + 1
+    ).cast("long")
     return (
-        d.groupBy("decile")
+        d.groupBy(decile.alias("decile"))
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cnt").cast("long").alias("n_customers"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal") * F.col("cnt")) / F.sum("cnt"), 2
+            ).alias("avg_bal"),
         )
         .orderBy("decile")
     )
