@@ -499,8 +499,14 @@ def tpch_q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier 'F' orders, count per supplier how often its line
     was the LAST shipped.  The correlated exists/not-exists pair of
     classic Q21 collapses into one per-order aggregate (max shipdate +
-    supplier count) joined back on orderkey — two shuffles total,
-    versus the textbook four."""
+    supplier count) joined back on orderkey — two orderkey shuffles of
+    the 3-column projected fact (the audit's top shuffler at 15 MB /
+    sf0.1, both exchanges column-pruned).  Measured alternatives: a
+    per-order window computes both aggregates in ONE fact shuffle but
+    pays a per-partition sort (+65 % wall locally); the real fix at
+    100 TB is an orderkey-bucketed layout, which removes both
+    exchanges entirely (demonstrated by
+    bucketed_join_segment_revenue)."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -510,7 +516,11 @@ def tpch_q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     po = per_order.filter(F.col("n_supp") > 1).withColumnRenamed("l_orderkey", "po_key")
     return (
-        li.join(po, (li.l_orderkey == F.col("po_key")) & (li.l_shipdate == F.col("max_ship")))
+        li.join(
+            po,
+            (li.l_orderkey == F.col("po_key"))
+            & (li.l_shipdate == F.col("max_ship")),
+        )
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
