@@ -1,0 +1,37 @@
+"""Rotation-policy regression guards (round-3 verdict ask #3).
+
+The driver banks correctness rows only for the FIRST 50 registered
+queries, and banks NOTHING for rows-only entries — so the window
+must contain exactly 50 existing, oracle-bearing queries.  Round 3
+lost 11 slots to rows-only entries and 3 to canon crashes; these
+tests make both mistakes impossible to recommit.
+"""
+
+from __future__ import annotations
+
+from ex9_big_data_gal_drimer_spark.plans import ORACLES, QUERIES
+from ex9_big_data_gal_drimer_spark.plans import __init__ as _plans  # noqa: F401
+from ex9_big_data_gal_drimer_spark.plans import _DRIVER_PRIORITY
+
+
+def test_priority_names_all_exist():
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"_DRIVER_PRIORITY names unknown queries: {missing}"
+
+
+def test_priority_has_no_duplicates():
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
+
+
+def test_window_is_exactly_50_oracle_bearing():
+    """Driver slots are scarce: all 50 must be oracle-bearing (the
+    driver records err='no_oracle' + null rows for anything else)."""
+    window = list(QUERIES)[:50]
+    rows_only = [n for n in window if n not in ORACLES]
+    assert len(_DRIVER_PRIORITY) >= 50
+    assert not rows_only, f"rows-only queries waste driver slots: {rows_only}"
+
+
+def test_every_oracle_key_is_registered():
+    dangling = [n for n in ORACLES if n not in QUERIES]
+    assert not dangling, f"oracles without queries: {dangling}"
