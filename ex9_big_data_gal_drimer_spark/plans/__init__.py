@@ -120,11 +120,12 @@ _DRIVER_PRIORITY: list[str] = [
 # registry (107 + 23 = 130 of 130).
 #
 # ROUND-5 ROTATION: after CORRECTNESS_r04 banks the window above,
-# the only oracle-bearing query without a driver row is
-# merge_sink_upsert_totals (added after the 50 slots were committed;
-# locally hash-green in CORRECTNESS_LOCAL_r04) — seat it first next
-# round, then any round-5 additions, then re-verify the oldest banked
-# rows (r01 vintage) on a rolling basis.
+# exactly two oracle-bearing queries lack a driver row (both added
+# after the 50 slots were committed; both hash-green in
+# CORRECTNESS_LOCAL_r04): merge_sink_upsert_totals and
+# tpch_q21_bucketed — seat them first next round, then any round-5
+# additions, then re-verify the oldest banked rows (r01 vintage) on a
+# rolling basis.
 
 
 def _reorder_for_driver() -> None:

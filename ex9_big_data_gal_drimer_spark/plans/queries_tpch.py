@@ -504,9 +504,10 @@ def tpch_q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, both exchanges column-pruned).  Measured alternatives: a
     per-order window computes both aggregates in ONE fact shuffle but
     pays a per-partition sort (+65 % wall locally); the real fix at
-    100 TB is an orderkey-bucketed layout, which removes both
-    exchanges entirely (demonstrated by
-    bucketed_join_segment_revenue)."""
+    100 TB is an orderkey-bucketed layout, which removes both fact
+    exchanges entirely — REGISTERED as tpch_q21_bucketed (same
+    oracle; tests/test_plan_audit.py pins fact-side exchanges = 0
+    there vs ≥3 here with broadcasts disabled)."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")

@@ -45,6 +45,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "ann_recall_report",
     "state_operator_inventory",
     "merge_sink_upsert_totals",
+    "tpch_q21_bucketed",
 }
 
 

@@ -47,6 +47,7 @@ _CONSTRUCTION_EXECUTES = {
     "snapshot_diff_customers",
     "state_operator_inventory",
     "merge_sink_upsert_totals",
+    "tpch_q21_bucketed",
 }
 
 

@@ -173,3 +173,21 @@ def test_runtime_bloom_filter_injects(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_q21_fact_never_shuffles(spark):
+    """tpch_q21_bucketed's contract: with lineitem/orders bucketed on
+    the order key, the per-order aggregate and both fact joins consume
+    the bucket clustering — the only shuffle exchanges left are the
+    supplier-grain rollup and the final sort (≤2), versus ≥3 for the
+    plain form with broadcasts disabled."""
+    q = QUERIES["tpch_q21_bucketed"](spark, SF_DIR)
+    n = count_exchanges(q)
+    assert n <= 2, f"bucketed q21 shuffles the fact ({n} exchanges)"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = QUERIES["tpch_q21_last_shippers"](spark, SF_DIR)
+        assert count_exchanges(plain) >= 3, "plain q21 should shuffle the fact"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
