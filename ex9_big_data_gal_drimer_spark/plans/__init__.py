@@ -116,8 +116,9 @@ _DRIVER_PRIORITY: list[str] = [
 # other query rides on banked green rows (CORRECTNESS_r01–r03) plus
 # the local differential suite, which covers all queries regardless of
 # position.  After CORRECTNESS_r04 banks this window, the union of
-# r01–r04 driver rows covers every oracle-bearing query in the
-# registry (107 + 23 = 130 of 130).
+# r01–r04 driver rows covers 130 of the registry's 132 oracle-bearing
+# queries (107 pre-r4 + 23 seated here); the two added after the
+# window was committed are named below.
 #
 # ROUND-5 ROTATION: after CORRECTNESS_r04 banks the window above,
 # exactly two oracle-bearing queries lack a driver row (both added

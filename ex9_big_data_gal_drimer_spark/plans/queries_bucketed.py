@@ -28,6 +28,17 @@ from .registry import register
 _DB = "ex9_bucketed"
 
 
+def _sf_db(prefix: str, sf_dir: str) -> str:
+    """Database name keyed on the FULL sf_dir path, not just its
+    basename — two different directories both named 'sf0.01' must not
+    share (and silently serve) one ingested layout."""
+    import hashlib
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+    return f"{prefix}_{tag}_{h}"
+
+
 @register(
     "bucketed_join_segment_revenue",
     oracle="""
@@ -45,8 +56,7 @@ def bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     written bucketBy(8, custkey).sortBy(custkey), so the join itself
     plans with zero exchanges (test_plan_audit pins the plan; this
     entry pins the VALUES against the plain-join oracle)."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    db = f"{_DB}_{sf_tag}"
+    db = _sf_db(_DB, sf_dir)
     ingest_bucketed(
         spark,
         sf_dir,
@@ -95,8 +105,7 @@ def tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the layout must change the plan, never the values.  Bucketed
     write happens at construction (ITERATIVE_CONSTRUCTION), paid once
     per session and amortized like any ingest-time layout."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    db = f"{_DB}_ok_{sf_tag}"
+    db = _sf_db(f"{_DB}_ok", sf_dir)
     ingest_bucketed(
         spark,
         sf_dir,

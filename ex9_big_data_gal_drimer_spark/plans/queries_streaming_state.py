@@ -43,8 +43,10 @@ def _events_stream_dir(sf_dir: str, workdir: str) -> str:
     d = os.path.join(workdir, "events_in")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    if not os.path.lexists(link):
+        # abspath: a relative sf_dir (valid everywhere else — Spark
+        # resolves against cwd) would otherwise dangle relative to d
+        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
     return d
 
 
@@ -72,7 +74,12 @@ def _run_windowed_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout (it only raises on
+    # query failure) — memoizing a half-written checkpoint would serve
+    # wrong state for the rest of the session, so fail loud instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("state-inventory stream did not drain in 300 s")
     _RUNS[key] = ckpt
     return ckpt
 
@@ -143,7 +150,10 @@ def merge_sink_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(work, "checkpoint")
         stream = read_events_stream(spark, _events_stream_dir(sf_dir, work))
         q = stream_merge_upsert_sink(stream, state_dir, ckpt)
-        q.awaitTermination(300)
+        # see _run_windowed_checkpoint: never memoize a timed-out run
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("merge sink did not drain in 300 s")
         _RUNS[key] = state_dir
     return (
         read_merge_state(spark, state_dir)

@@ -425,6 +425,7 @@ class SQLiteWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import glob
         import os
+        import time
         import uuid
 
         cols = ", ".join(
@@ -444,8 +445,13 @@ class SQLiteWriter(DataSourceWriter):
             # Crash hygiene: a hard kill mid-commit of a PREVIOUS run
             # can orphan a <table>__staging_<hex> table (staged in
             # autocommit) and *.spill-* temp dbs.  Sweep both before
-            # staging anew — this writer is the only producer of those
-            # names, and a healthy run always drops/unlinks its own.
+            # staging anew.  Scope: staging sweep is limited to THIS
+            # target table (concurrent writes to one SQLite table are
+            # unsupported — last-writer-wins like any file sink — but
+            # writers to OTHER tables in the same db file must not be
+            # touched), and the spill sweep is age-gated so a
+            # concurrent writer's seconds-old in-flight spills survive
+            # while a crashed run's hours-old residue is reclaimed.
             stale = conn.execute(
                 "SELECT name FROM sqlite_master WHERE type='table'"
                 " AND name LIKE ? ESCAPE '\\'",
@@ -453,12 +459,16 @@ class SQLiteWriter(DataSourceWriter):
             ).fetchall()
             for (name,) in stale:
                 conn.execute(f"DROP TABLE IF EXISTS {_qident(name)}")
+            stale_after = 3600  # seconds
+            now = time.time()
             for leftover in glob.glob(f"{self.path}.spill-*"):
-                if leftover not in live_spills:
-                    try:
+                if leftover in live_spills:
+                    continue
+                try:
+                    if now - os.path.getmtime(leftover) > stale_after:
                         os.unlink(leftover)
-                    except OSError:
-                        pass
+                except OSError:
+                    pass
             conn.execute(f"CREATE TABLE {staging} ({cols})")
             for m in messages:
                 if not m or not m.path:
@@ -478,7 +488,12 @@ class SQLiteWriter(DataSourceWriter):
                     ).fetchall()
                 ]
                 write_cols = [f.name for f in self.schema.fields]
-                if existing and sorted(existing) != sorted(write_cols):
+                # SQLite identifiers resolve case-insensitively, so
+                # the guard must too — the by-name INSERT below works
+                # regardless of the stored casing
+                if existing and sorted(c.casefold() for c in existing) != sorted(
+                    c.casefold() for c in write_cols
+                ):
                     # Appending by position into a differently-shaped
                     # table would silently scramble columns; fail loud.
                     raise ValueError(

@@ -28,27 +28,14 @@ from ex9_big_data_gal_drimer_spark.plans import QUERIES  # noqa: E402
 from conftest import SF_DIR  # noqa: E402
 
 #: Queries whose plan construction requires executor work (iterative
-#: k-means / connected-components fixpoints, streaming checkpoints) —
-#: their output schemas are pinned by their own dedicated tests instead
-#: of this sweep, which must stay execution-free.
-_CONSTRUCTION_EXECUTES = {
-    "dedup_connected_components",
-    "semdedup_embeddings",
-    "knn_ivf_trained",
-    "knn_ivf_model_store",
-    "knn_pq_adc",
-    "knn_ivfpq_cosine",
-    "ann_recall_report",
-    "group_aware_split",
-    "sketch_store_rollup",
-    "incremental_agg_maintenance",
-    "cdc_merge_customers",
-    "scd2_priority_history",
-    "snapshot_diff_customers",
-    "state_operator_inventory",
-    "merge_sink_upsert_totals",
-    "tpch_q21_bucketed",
-}
+#: fixpoints, layout/sketch writes, streaming checkpoints) — their
+#: output schemas are pinned by their own dedicated tests instead of
+#: this sweep, which must stay execution-free.  Single source of
+#: truth: the registry's ITERATIVE_CONSTRUCTION set (the same list
+#: bench.py and test_plan_audit.py key off), not a hand-copied twin.
+from ex9_big_data_gal_drimer_spark.plans.registry import (  # noqa: E402
+    ITERATIVE_CONSTRUCTION as _CONSTRUCTION_EXECUTES,
+)
 
 
 def test_driver_canon_rejects_array_columns():

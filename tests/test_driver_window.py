@@ -24,11 +24,17 @@ def test_priority_has_no_duplicates():
 
 
 def test_window_is_exactly_50_oracle_bearing():
-    """Driver slots are scarce: all 50 must be oracle-bearing (the
-    driver records err='no_oracle' + null rows for anything else)."""
+    """Driver slots are scarce: the priority list must be EXACTLY the
+    50-slot window (a 51st entry would look seated but never bank a
+    row), and all 50 must be oracle-bearing (the driver records
+    err='no_oracle' + null rows for anything else)."""
+    assert len(_DRIVER_PRIORITY) == 50, (
+        f"priority list has {len(_DRIVER_PRIORITY)} entries; the driver "
+        "checks exactly 50 — extras silently never bank a row"
+    )
     window = list(QUERIES)[:50]
+    assert window == _DRIVER_PRIORITY
     rows_only = [n for n in window if n not in ORACLES]
-    assert len(_DRIVER_PRIORITY) >= 50
     assert not rows_only, f"rows-only queries waste driver slots: {rows_only}"
 
 

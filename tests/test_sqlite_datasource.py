@@ -220,12 +220,22 @@ def test_commit_sweeps_orphaned_staging_and_spills(sqlite_spark, tmp_path):
     stale_spill = out + ".spill-0-deadbeef"
     with sqlite3.connect(stale_spill) as c:
         c.execute("CREATE TABLE spill (id INTEGER)")
+    import os as _os
+
+    # the sweep is age-gated (a concurrent writer's fresh spills must
+    # survive); backdate the planted residue past the threshold
+    _os.utime(stale_spill, (1, 1))
+    fresh_spill = out + ".spill-1-cafebabe"
+    with sqlite3.connect(fresh_spill) as c:
+        c.execute("CREATE TABLE spill (id INTEGER)")
     sqlite_spark.range(5).write.format("sqlite").option("path", out).option(
         "table", "t_sw"
     ).mode("overwrite").save()
     import glob as _glob
 
-    assert _glob.glob(out + ".spill-*") == []
+    # stale residue reclaimed; the fresh (possibly concurrent) spill kept
+    assert _glob.glob(out + ".spill-*") == [fresh_spill]
+    _os.unlink(fresh_spill)
     with sqlite3.connect(out) as c:
         names = {
             r[0]

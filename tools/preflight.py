@@ -53,6 +53,35 @@ def driver_canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=_sort_key)
 
 
+def compare_result(
+    scols: list[str],
+    srows: list[tuple],
+    ocols: list[str],
+    orows: list[tuple],
+) -> tuple[str, str]:
+    """Driver-style comparison of a Spark result against its oracle.
+
+    Returns (verdict, detail): verdict is one of 'schema', 'rows',
+    'values', 'ok'.  Single source of truth for the gate semantics —
+    used by the window preflight AND tools/check_queries.py so a canon
+    change can never silently diverge between the two.
+    """
+    if sorted(scols) != sorted(ocols):
+        return "schema", f"schema {sorted(scols)} vs {sorted(ocols)}"
+    s = driver_canon(list(scols), srows)
+    o = driver_canon(list(ocols), [tuple(r) for r in orows])
+    if len(s) != len(o):
+        return "rows", f"rows {len(s)} vs {len(o)}"
+    bad = [
+        (x, y)
+        for x, y in zip(s, o)
+        if not all(_values_equal(a, b) for a, b in zip(x, y))
+    ]
+    if bad:
+        return "values", f"{len(bad)} mismatched rows; e.g. {bad[0]}"
+    return "ok", f"{len(s)} rows"
+
+
 def _values_equal(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
@@ -115,27 +144,19 @@ def main() -> int:
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
             row["oracle_rows"] = len(orows)
-            row["schema_match"] = sorted(sdf.columns) == sorted(ocols)
-            if not row["schema_match"]:
-                fails.append((name, f"schema {sdf.columns} vs {ocols}"))
-                continue
-            s = driver_canon(list(sdf.columns), srows)
-            o = driver_canon(list(ocols), [tuple(r) for r in orows])
-            row["rows_match"] = len(s) == len(o)
-            if not row["rows_match"]:
-                fails.append((name, f"rows {len(s)} vs {len(o)}"))
-                continue
-            bad = [
-                (x, y)
-                for x, y in zip(s, o)
-                if not all(_values_equal(a, b) for a, b in zip(x, y))
-            ]
-            row["hash_match"] = not bad
-            if bad:
-                fails.append((name, f"values e.g. {bad[0]}"))
-            else:
+            verdict, detail = compare_result(
+                list(sdf.columns), srows, ocols, orows
+            )
+            row["schema_match"] = verdict != "schema"
+            if verdict != "schema":
+                row["rows_match"] = verdict != "rows"
+            if verdict not in ("schema", "rows"):
+                row["hash_match"] = verdict == "ok"
+            if verdict == "ok":
                 row["status"] = "ok"
-                print(f"  ok        {name}: {len(s)} rows")
+                print(f"  ok        {name}: {detail}")
+            else:
+                fails.append((name, detail))
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             row["err"] = str(ex)[:200]
             fails.append((name, f"error {str(ex)[:200]}"))
