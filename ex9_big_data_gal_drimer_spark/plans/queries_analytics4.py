@@ -3,7 +3,9 @@ sessionization, cohort retention, anomaly z-scores, lateness audit,
 RFM), financial distribution analytics (Pareto concentration, YoY
 growth, balance deciles), and corpus statistics for training-data
 curation (Zipf slope, type-token ratio, token-length histogram,
-embedding-norm outliers).  All oracle-checked (driver-window
+embedding-norm outliers).  Generalizes SURVEY.md §2.4 (aggregations)
+/ §2.5 (windows) and extends the §2.11 X4 text-analysis tier with
+corpus-health statistics.  All oracle-checked (driver-window
 candidates from day one — round-3 verdict ask #6).
 
 Scale notes (100 TB): every query is either a keyed window (partition
