@@ -31,6 +31,7 @@ from . import queries_incremental  # noqa: F401,E402
 from . import queries_lm  # noqa: F401,E402
 from . import queries_spark4  # noqa: F401,E402
 from . import queries_tpch  # noqa: F401,E402
+from . import queries_tpch2  # noqa: F401,E402
 from . import queries_analytics4  # noqa: F401,E402
 from . import queries_streaming_state  # noqa: F401,E402
 
@@ -120,13 +121,17 @@ _DRIVER_PRIORITY: list[str] = [
 # queries (107 pre-r4 + 23 seated here); the two added after the
 # window was committed are named below.
 #
-# ROUND-5 ROTATION: after CORRECTNESS_r04 banks the window above,
-# exactly two oracle-bearing queries lack a driver row (both added
-# after the 50 slots were committed; both hash-green in
-# CORRECTNESS_LOCAL_r04): merge_sink_upsert_totals and
-# tpch_q21_bucketed — seat them first next round, then any round-5
-# additions, then re-verify the oldest banked rows (r01 vintage) on a
-# rolling basis.
+# ROUND-5 ROTATION: after CORRECTNESS_r04 banks the window above, the
+# oracle-bearing queries lacking a driver row are exactly the ones
+# added after the 50 slots were committed (all hash-green in
+# CORRECTNESS_LOCAL_r04/r05): merge_sink_upsert_totals,
+# tpch_q21_bucketed, the TPC-H completion set (queries_tpch2.py:
+# tpch_q2_min_cost_supplier, tpch_q9_product_type_profit,
+# tpch_q11_important_stock, tpch_q13_customer_distribution,
+# tpch_q15_top_supplier, tpch_q16_parts_supplier_relationship,
+# tpch_q17_small_quantity_revenue, tpch_q20_part_promotion), and any
+# later round-4.5 additions — seat ALL of them first next round, then
+# re-verify the oldest banked rows (r01 vintage) on a rolling basis.
 
 
 def _reorder_for_driver() -> None:
