@@ -20,6 +20,7 @@ from . import queries_text3  # noqa: F401,E402
 from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
 from . import queries_curation2  # noqa: F401,E402
+from . import queries_curation3  # noqa: F401,E402
 from . import queries_semdedup  # noqa: F401,E402
 from . import queries_layout  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
@@ -129,9 +130,13 @@ _DRIVER_PRIORITY: list[str] = [
 # tpch_q2_min_cost_supplier, tpch_q9_product_type_profit,
 # tpch_q11_important_stock, tpch_q13_customer_distribution,
 # tpch_q15_top_supplier, tpch_q16_parts_supplier_relationship,
-# tpch_q17_small_quantity_revenue, tpch_q20_part_promotion), and any
-# later round-4.5 additions — seat ALL of them first next round, then
-# re-verify the oldest banked rows (r01 vintage) on a rolling basis.
+# tpch_q17_small_quantity_revenue, tpch_q20_part_promotion), the
+# curation-governance set (queries_curation3.py: domain_quality_cap,
+# source_vocab_overlap, source_unigram_divergence,
+# embedding_label_cohesion, char_window_duplication,
+# adaptive_quality_threshold), and any later round-4.5 additions —
+# seat ALL of them first next round, then re-verify the oldest banked
+# rows (r01 vintage) on a rolling basis.
 
 
 def _reorder_for_driver() -> None:

@@ -17,16 +17,46 @@ from ..catalog import table
 from ..operators.clustering import assign_clusters, kmeans_fit, semdedup_pairs
 from .registry import register
 
+#: Memoized per-(session, sf_dir, k, n_iter) trained centroid tables —
+#: the in-session face of the kmeans_fit_or_load model registry and
+#: the same serving shape as queries_llm_scale._ANN_LEGS (round-3
+#: verdict ask #4: monitoring/serving rows probe persisted model
+#: state instead of retraining per run).  Each entry is a cached
+#: k-row (centroid_id, cvec) relation — model-sized, dropped with the
+#: session.
+_TRAINED_CENTROIDS: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def trained_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3
+) -> DataFrame:
+    """Fit-or-reuse the corpus k-means model for this session: the
+    first caller pays the n_iter Lloyd passes, every later caller
+    (semdedup_embeddings, knn_ivf_trained, future monitors) serves
+    from the cached k-row centroid table — train-once-serve-many."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, n_iter)
+    got = _TRAINED_CENTROIDS.get(key)
+    if got is not None:
+        return got
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = kmeans_fit(emb, k=k, n_iter=n_iter).cache()
+    cents.count()  # materialize the k rows now, while emb is persisted
+    _TRAINED_CENTROIDS[key] = cents
+    return cents
+
 
 @register("knn_ivf_trained")
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #2b: IVF ANN over TRAINED centroids — the
-    `knn_ivf_cosine` plan with `kmeans_fit` output swapped in for the
+    `knn_ivf_cosine` plan with trained-model output swapped in for the
     random spherical quantizer, delivering the "trained centroids,
     same plan" upgrade its docstring promises.  List purity from
     training raises recall at the same nprobe cost (pinned ≥ random
-    in tests/test_clustering.py).  Rows-only: iterative float
-    training is engine-specific."""
+    in tests/test_clustering.py).  Serves from the session model memo
+    (`trained_centroids`) — first toucher trains, later callers probe.
+    Rows-only: iterative float training is engine-specific."""
     from ..operators.similarity import ivf_cosine_topk
 
     emb = table(spark, sf_dir, "embeddings").select(
@@ -35,7 +65,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    centroids = kmeans_fit(emb, k=8, n_iter=3)
+    centroids = trained_centroids(spark, sf_dir, k=8, n_iter=3)
     return ivf_cosine_topk(
         emb, queries, dim=64, k=5, nprobe=4, centroids=centroids
     ).orderBy("query_id", "rnk")
@@ -92,7 +122,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids = kmeans_fit(emb, k=8, n_iter=3)
+    centroids = trained_centroids(spark, sf_dir, k=8, n_iter=3)
     assigned = assign_clusters(emb, centroids).cache()
     # Fill the cache NOW (iterative-construction query): the final plan
     # reads `assigned` three times (both self-join sides + sizes); an

@@ -54,12 +54,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_quality_scores",
-    oracle="""
-    WITH scored AS (
-        SELECT source,
-               ROUND(
+#: DuckDB scalar twin of operators.text.quality_score (over a column
+#: named ``text``) — shared by every oracle that gates on the
+#: composite quality heuristic (here, queries_curation3.py).
+QUALITY_Q_SQL = """ROUND(
                  0.4 * LEAST(1.0, CAST(len(string_split(LOWER(text), ' ')) AS DOUBLE) / 100.0)
                + 0.3 * (1.0 - COALESCE(
                      CASE WHEN LENGTH(text) > 0 THEN
@@ -70,7 +68,15 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(len(list_filter(string_split(LOWER(text), ' '),
                             t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                          / len(string_split(LOWER(text), ' ')) END, 0.0) * 5.0)
-               , 4) AS q
+               , 4)"""
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               {QUALITY_Q_SQL} AS q
         FROM documents
     )
     SELECT source,
