@@ -42,20 +42,11 @@ def _ts(s: str) -> F.Column:
     return F.lit(s).cast("timestamp_ntz")
 
 
-def _ps_unit_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived part-supplier catalog: MIN(l_extendedprice/l_quantity)
-    per (partkey, suppkey).  MIN over identical per-row divisions is
-    bit-deterministic across engines (no accumulation order), so the
-    value is safe to equality-join on — the keystone of Q2's
-    correlated-min rewrite."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_quantity") > 0)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
-
-
+# Derived part-supplier catalog: MIN(l_extendedprice/l_quantity) per
+# (partkey, suppkey).  MIN over identical per-row divisions is
+# bit-deterministic across engines (no accumulation order), so the
+# value is safe to equality-join on — the keystone of Q2's
+# correlated-min rewrite.
 _PS_SQL = """
         SELECT l_partkey, l_suppkey,
                MIN(l_extendedprice / l_quantity) AS unit_cost
@@ -99,12 +90,25 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     One lineitem groupBy feeds both sides; part/nation/region/supplier
     all broadcast.  Unique sort key (acctbal, n_name, s_name, partkey —
     s_name unique per supplier) makes LIMIT 100 deterministic."""
-    ps = _ps_unit_cost(spark, sf_dir)
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    # Push the part predicate BELOW the derived-catalog aggregate: only
+    # ~1/30 of partkeys survive (type × size), so the lineitem groupBy
+    # combines 30× fewer groups.  Result-identical — per-part minima
+    # are independent across parts.
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     europe_ps = (
         ps.join(F.broadcast(sup), ps.l_suppkey == sup.s_suppkey)
@@ -365,18 +369,31 @@ def tpch_q16_parts_supplier_relationship(
     partsupp is a DISTINCT over (partkey, suppkey) — partial-agg
     dedup before the shuffle.  COUNT(DISTINCT) groups by
     brand/type/size, all low-cardinality."""
-    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     )
+    # Part + complaint filters pushed BELOW the distinct: the
+    # dedup shuffle then carries only surviving (partkey, suppkey)
+    # pairs (~1/8 of lineitem) — result-identical, DISTINCT commutes
+    # with row filters.
     complaints = table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(complaints), F.col("l_suppkey") == complaints.s_suppkey, "left_anti")
+        .distinct()
+    )
     return (
-        li.join(F.broadcast(complaints), li.l_suppkey == complaints.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
