@@ -139,7 +139,9 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump-overlap audit run BEFORE paying document-level dedup (two
     crawls of the same sites show up here first).  Never all-pairs on
     rows: the pair space is |sources|², built from an equi-join on
-    word.  Jaccard is a ratio of exact integers → hash-deterministic.
+    word, and only pairs sharing ≥1 word emit a row (fully disjoint
+    pairs are absent by construction — tests/test_curation3.py).
+    Jaccard is a ratio of exact integers → hash-deterministic.
     At 100 TB the word join becomes MinHash-signature intersection
     (operators/dedup.py) — this exact form is the audit you run on a
     per-dump sample, and the oracle for that estimator."""
