@@ -21,6 +21,7 @@ from . import queries_analytic  # noqa: F401,E402
 from . import queries_curation  # noqa: F401,E402
 from . import queries_curation2  # noqa: F401,E402
 from . import queries_curation3  # noqa: F401,E402
+from . import queries_embeddings2  # noqa: F401,E402
 from . import queries_semdedup  # noqa: F401,E402
 from . import queries_layout  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
@@ -134,7 +135,9 @@ _DRIVER_PRIORITY: list[str] = [
 # curation-governance set (queries_curation3.py: domain_quality_cap,
 # source_vocab_overlap, source_unigram_divergence,
 # embedding_label_cohesion, char_window_duplication,
-# adaptive_quality_threshold), and any later round-4.5 additions —
+# adaptive_quality_threshold), the embedding-training pair
+# (queries_embeddings2.py: hard_negative_mining,
+# embedding_quantization_error), and any later round-4.5 additions —
 # seat ALL of them first next round, then re-verify the oldest banked
 # rows (r01 vintage) on a rolling basis.
 
