@@ -137,7 +137,8 @@ _DRIVER_PRIORITY: list[str] = [
 # embedding_label_cohesion, char_window_duplication,
 # adaptive_quality_threshold), the embedding-training pair
 # (queries_embeddings2.py: hard_negative_mining,
-# embedding_quantization_error), and any later round-4.5 additions —
+# embedding_quantization_error), schema_evolution_scan
+# (queries_layout.py), and any later round-4.5 additions —
 # seat ALL of them first next round, then re-verify the oldest banked
 # rows (r01 vintage) on a rolling basis.
 

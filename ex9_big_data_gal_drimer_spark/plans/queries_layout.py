@@ -130,3 +130,49 @@ def zorder_layout_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "schema_evolution_scan",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 'online' ELSE 'store' END
+               END AS o_channel
+        FROM orders
+    )
+    SELECT COALESCE(o_channel, 'pre_channel') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (SURVEY.md §2.1 source-surface
+    generalization): the orders table written in two generations —
+    pre-1998 without, 1998+ WITH a late-added ``o_channel`` column
+    (sources/layout.py::ingest_evolving) — is read back as ONE
+    relation via ``mergeSchema=true``; v1 rows surface NULL for the
+    late column and roll up under 'pre_channel'.  The oracle
+    recomputes the same union from the unevolved base table, so the
+    merged scan must be value-identical to history + new data.  At
+    100 TB this is the no-rewrite column-add path: schema merge is
+    footer-only work per file, data files are untouched."""
+    from ..sources.layout import ingest_evolving
+
+    v1, v2 = ingest_evolving(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("pre_channel")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -42,6 +42,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "knn_pq_adc",
     "knn_ivfpq_cosine",
     "zorder_layout_skip",
+    "schema_evolution_scan",
     "ann_recall_report",
     "state_operator_inventory",
     "merge_sink_upsert_totals",

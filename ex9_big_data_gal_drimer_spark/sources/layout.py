@@ -230,3 +230,33 @@ def ingest_zordered(
         .parquet(path)
     )
     return path
+
+
+def ingest_evolving(spark: SparkSession, sf_dir: str, table: str = "orders") -> tuple[str, str]:
+    """Two-generation parquet layout for SCHEMA EVOLUTION: generation
+    v1 holds pre-1998 orders with the original four columns;
+    generation v2 holds 1998+ orders with a NEW ``o_channel`` column
+    added mid-stream (the ingest-pipeline reality every long-lived
+    100 TB table faces — new fields appear, history is never
+    rewritten).  Readers union the generations with
+    ``mergeSchema=true``; v1 rows surface NULL for the late column.
+    Returns the two generation paths.  Idempotent via _SUCCESS
+    markers, same contract as ingest_partitioned."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"ex9_evolving_{sf_tag}", table)
+    v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in (v1, v2)):
+        return v1, v2
+    base = load_table(spark, sf_dir, table)
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    old_cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    channel = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "online"
+    ).otherwise("store")
+    base.filter(F.col("o_orderdate") < cut).select(*old_cols).coalesce(
+        4
+    ).write.mode("overwrite").parquet(v1)
+    base.filter(F.col("o_orderdate") >= cut).select(
+        *old_cols, channel.alias("o_channel")
+    ).coalesce(4).write.mode("overwrite").parquet(v2)
+    return v1, v2
