@@ -22,6 +22,7 @@ from . import queries_curation  # noqa: F401,E402
 from . import queries_curation2  # noqa: F401,E402
 from . import queries_curation3  # noqa: F401,E402
 from . import queries_embeddings2  # noqa: F401,E402
+from . import queries_scale_audit  # noqa: F401,E402
 from . import queries_semdedup  # noqa: F401,E402
 from . import queries_layout  # noqa: F401,E402
 from . import queries_hotels  # noqa: F401,E402
@@ -138,7 +139,8 @@ _DRIVER_PRIORITY: list[str] = [
 # adaptive_quality_threshold), the embedding-training pair
 # (queries_embeddings2.py: hard_negative_mining,
 # embedding_quantization_error), schema_evolution_scan
-# (queries_layout.py), and any later round-4.5 additions —
+# (queries_layout.py), join_key_skew_audit (queries_scale_audit.py),
+# and any later round-4.5 additions —
 # seat ALL of them first next round, then re-verify the oldest banked
 # rows (r01 vintage) on a rolling basis.
 
