@@ -176,3 +176,40 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "layout_file_audit",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def layout_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-grain observability over the date-partitioned layout: rows
+    and FILE COUNT per partition directory via input_file_name() — the
+    small-files detector a 100 TB table runs nightly (query cost
+    tracks file count; a partition fragmenting into hundreds of files
+    is the signal to run sources/layout.py::compact).  The oracle pins
+    the layout's design invariant from the BASE table: exactly ONE
+    file per partition (ingest_partitioned repartitions by the
+    partition column before writing) and the full row count per month
+    — if the write ever fragments, n_files here diverges from the
+    oracle's literal 1 and the hash check fails."""
+    from ..sources.layout import ingest_partitioned, read_partitioned
+
+    path = ingest_partitioned(spark, sf_dir)
+    li = read_partitioned(spark, path)
+    return (
+        li.select(F.col(PART_COL).alias("ship_month"), F.input_file_name().alias("f"))
+        .groupBy("ship_month")
+        .agg(
+            F.countDistinct("f").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("ship_month")
+    )

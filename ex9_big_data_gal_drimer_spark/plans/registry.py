@@ -43,6 +43,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "knn_ivfpq_cosine",
     "zorder_layout_skip",
     "schema_evolution_scan",
+    "layout_file_audit",
     "ann_recall_report",
     "state_operator_inventory",
     "merge_sink_upsert_totals",
