@@ -120,9 +120,11 @@ _DRIVER_PRIORITY: list[str] = [
 # other query rides on banked green rows (CORRECTNESS_r01–r03) plus
 # the local differential suite, which covers all queries regardless of
 # position.  After CORRECTNESS_r04 banks this window, the union of
-# r01–r04 driver rows covers 130 of the registry's 132 oracle-bearing
-# queries (107 pre-r4 + 23 seated here); the two added after the
-# window was committed are named below.
+# r01–r04 driver rows covers 130 of the registry's oracle-bearing
+# queries (107 pre-r4 + 23 seated here); every oracle-bearing query
+# added after the window was committed (21 as of end of round 4 — the
+# registry now carries 151 oracles) is named in the ROUND-5 ROTATION
+# note below and is hash-green in CORRECTNESS_LOCAL_r04.
 #
 # ROUND-5 ROTATION: after CORRECTNESS_r04 banks the window above, the
 # oracle-bearing queries lacking a driver row are exactly the ones

@@ -151,10 +151,20 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .distinct()
     )
-    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = vocab.alias("a")
-    b = vocab.alias("b")
-    inter = (
+    from pyspark.sql import Window
+
+    # Attach each source's vocab size as a WINDOW over the distinct
+    # relation before the self-join: the pair rows then carry both
+    # sizes, so no separate sizes aggregate + join-back (which would
+    # evaluate the explode+distinct subtree two extra times).  The
+    # self-join itself still evaluates vocab twice — inherent
+    # (realiased exprIds defeat ReusedExchange).
+    vocab_n = vocab.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    a = vocab_n.alias("a")
+    b = vocab_n.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
@@ -162,20 +172,18 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    x = sizes.alias("x")
-    y = sizes.alias("y")
-    return (
-        inter.join(F.broadcast(x), F.col("source_a") == F.col("x.source"))
-        .join(F.broadcast(y), F.col("source_b") == F.col("y.source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("a.n").alias("na"),  # constant within the pair group
+            F.max("b.n").alias("nb"),
+        )
         .select(
             "source_a",
             "source_b",
             "n_common",
             F.round(
                 F.col("n_common").cast("double")
-                / (F.col("x.n") + F.col("y.n") - F.col("n_common")),
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
                 4,
             ).alias("jaccard"),
         )
@@ -218,25 +226,32 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KL(source ‖ corpus) over unigram distributions — the
     distribution-shift monitor that flags an outlier source (wrong
     language, spam, format break) before it pollutes the training
-    mix.  Three stacked partial-aggs (per-source-word, per-source,
-    per-word) + a 1-row corpus total broadcast; every probability is a
-    ratio of exact integer counts, the per-word KL terms are
-    row-deterministic, and only the final SUM is ROUND()ed."""
+    mix.  One explode + ONE (source, word) partial-agg; the three
+    marginals (per-source, per-word, corpus total) are WINDOWS over
+    that aggregate's output, so the corpus is tokenized exactly once
+    — a join formulation would re-execute the explode+agg subtree per
+    marginal (realiased exprIds defeat ReusedExchange).  Every
+    probability is a ratio of exact integer counts, the per-word KL
+    terms are row-deterministic, and only the final SUM is
+    ROUND()ed."""
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
     sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
-    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
-    cw = sc.groupBy("w").agg(F.sum("c").alias("cc"))
-    ctot = cw.agg(F.sum("cc").alias("ctot_n"))
+    marg = sc.select(
+        "source",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+        F.sum("c").over(Window.partitionBy("w")).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("ctot_n"),
+    )
     ps = F.col("c").cast("double") / F.col("n")
     pc = F.col("cc").cast("double") / F.col("ctot_n")
     return (
-        sc.join(F.broadcast(stot), "source")
-        .join(cw, "w")
-        .crossJoin(F.broadcast(ctot))
-        .groupBy("source", F.col("n").alias("n_tokens"))
+        marg.groupBy("source", F.col("n").alias("n_tokens"))
         .agg(
             F.count(F.lit(1)).alias("vocab_size"),
             F.round(F.sum(ps * F.log(ps / pc)), 4).alias("kl_nats"),
@@ -295,20 +310,12 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cvec")
     )
-    dot = F.aggregate(
-        F.zip_with("v", "cvec", lambda x, c: x * c),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    vnorm = F.sqrt(
-        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cnorm = F.sqrt(
-        F.aggregate(F.col("cvec"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    from ..functions import cosine_similarity
+
+    cs = cosine_similarity(F.col("v"), F.col("cvec"))
     return (
         emb.join(F.broadcast(cent), "label")
-        .select("label", (dot / (vnorm * cnorm)).alias("cs"))
+        .select("label", cs.alias("cs"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -352,10 +359,11 @@ def char_window_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("Deduplicating Training Data Makes Language Models Better") at
     char granularity, strided ×16 so cost is O(chars/16) not
     O(chars): a window duplicated across ≥2 docs marks copy-paste /
-    mirrored spans that word-level shingles smear.  Two hash aggs +
-    one (gram) equi-join — the suffix-array result at hash-join cost;
-    no pairs, no sort of the corpus.  Counts and their ratio are
-    exact."""
+    mirrored spans that word-level shingles smear.  One gram-hash
+    window (min≠max doc_id over the gram partition) + one source
+    rollup — the suffix-array result at one-shuffle cost, the gram
+    stream evaluated exactly once; no pairs, no sort of the corpus.
+    Counts and their ratio are exact."""
     docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 32)
     wins = docs.select(
         "doc_id",
@@ -367,24 +375,24 @@ def char_window_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", F.col("text").substr(F.col("s"), F.lit(32)).alias("gram")
     )
-    dup = (
-        wins.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram", F.lit(1).alias("is_dup"))
-    )
+    from pyspark.sql import Window
+
+    # "gram appears in ≥2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id)
+    # over the gram partition — ONE window exchange on the gram hash
+    # instead of a groupBy + join back (which would re-execute the
+    # window-extraction subtree for the dup-set side).
+    g = Window.partitionBy("gram")
+    is_dup = (
+        F.min("doc_id").over(g) != F.max("doc_id").over(g)
+    ).cast("int")
     return (
-        wins.join(dup, "gram", "left")
+        wins.withColumn("is_dup", is_dup)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias(
-                "n_dup_windows"
-            ),
+            F.sum("is_dup").cast("long").alias("n_dup_windows"),
             F.round(
-                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)),
-                4,
+                F.sum("is_dup").cast("double") / F.count(F.lit(1)), 4
             ).alias("dup_frac"),
         )
         .orderBy("source")
@@ -428,25 +436,29 @@ def adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated thresholds can flip boundary rows on arithmetic
     ulps).  This is the calibrated-per-language filter that replaces
     one global cutoff silently dropping whole languages (the FineWeb/
-    CCNet lesson).  One partitioned window to pick the statistic, a
-    5-row broadcast join to apply it."""
+    CCNet lesson).  Both windows share the (lang) partitioning, so the
+    scored corpus is evaluated ONCE and shuffled once — no join back
+    (which would re-run quality_score over all docs for the second
+    consumer)."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
     scored = docs.select("lang", quality_score(F.col("text")).alias("q"))
     w = Window.partitionBy("lang").orderBy("q")
+    wl = Window.partitionBy("lang")
     ranked = scored.select(
         "lang",
         "q",
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        F.count(F.lit(1)).over(wl).alias("n"),
     )
-    th = ranked.filter(
-        F.col("rn") == F.floor(0.4 * (F.col("n") - 1)).cast("long") + 1
-    ).select("lang", F.col("q").alias("q40"))
+    # Broadcast the statistic to every row of its language via a second
+    # window over the SAME partitioning (no extra exchange, no re-scan).
+    target = F.floor(0.4 * (F.col("n") - 1)).cast("long") + 1
+    q40 = F.max(F.when(F.col("rn") == target, F.col("q"))).over(wl)
     kept = F.col("q") >= F.col("q40")
     return (
-        scored.join(F.broadcast(th), "lang")
+        ranked.withColumn("q40", q40)
         .groupBy("lang", F.col("q40").alias("threshold"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -36,16 +36,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import cosine_similarity
 from .registry import register
-
-
-def _cosine(a, b) -> F.Column:
-    """Sequential-fold cosine — same operation order as DuckDB's
-    list_cosine_similarity, so cross-engine results are bit-identical."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, t: s + t)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (na * nb)
 
 
 @register(
@@ -104,7 +96,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         (F.col("label") == F.col("qlabel")).alias("is_pos"),
-        _cosine(F.col("qv"), F.col("v")).alias("sim"),
+        cosine_similarity(F.col("qv"), F.col("v")).alias("sim"),
     )
     w = Window.partitionBy("query_id", "is_pos").orderBy(
         F.desc("sim"), "neighbor_id"

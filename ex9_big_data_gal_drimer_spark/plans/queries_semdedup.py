@@ -41,8 +41,10 @@ def trained_centroids(
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = kmeans_fit(emb, k=k, n_iter=n_iter).cache()
-    cents.count()  # materialize the k rows now, while emb is persisted
+    # kmeans_fit returns a driver-local relation (the trained state was
+    # collected during the Lloyd loop), so the memo value is already
+    # materialized — no cache needed.
+    cents = kmeans_fit(emb, k=k, n_iter=n_iter)
     _TRAINED_CENTROIDS[key] = cents
     return cents
 
@@ -93,9 +95,10 @@ def knn_ivf_model_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..sources.layout import path_tag
+
     store = os.path.join(
-        tempfile.gettempdir(), f"ex9_kmeans_model_{sf_tag}_k8_i3"
+        tempfile.gettempdir(), f"ex9_kmeans_model_{path_tag(sf_dir)}_k8_i3"
     )
     centroids = kmeans_fit_or_load(emb, store, k=8, n_iter=3)
     return ivf_cosine_topk(

@@ -215,9 +215,11 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock identification): per-part value held
     by one nation's suppliers, kept when above a fraction of the
-    nation total.  The scalar ``(SELECT SUM ...)`` subquery is a 1-row
-    aggregate broadcast-cross-joined onto the per-part aggregate (J1
-    pattern) — no second scan of lineitem, no correlated re-execution.
+    nation total.  The scalar ``(SELECT SUM ...)`` subquery is a
+    global window over the per-part AGGREGATE output (|parts| rows) —
+    one lineitem scan total, no correlated re-execution, and the
+    threshold derives from the same physical evaluation as the values
+    it gates (a 1-row-agg self-join would re-run the float sums).
     The threshold is 2× the average part share (scale-invariant, unlike
     TPC-H's 0.0001/SF literal, so evidence stays non-empty at every
     SF); both comparands are ROUND()ed so the predicate is
@@ -231,16 +233,19 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("raw_value"))
     )
-    total = value.agg(
-        F.sum("raw_value").alias("total_value"),
-        F.count(F.lit(1)).alias("n_parts"),
-    )
+    from pyspark.sql import Window
+
+    # Global window over the AGGREGATE output (|parts| rows) instead of
+    # a 1-row-agg cross-join: the per-part aggregate is evaluated
+    # exactly once, so the threshold and the values it gates are
+    # derived from the same physical computation (no re-evaluation
+    # hazard on the float sums).
+    w = Window.partitionBy()
+    total = F.sum("raw_value").over(w)
+    n_parts = F.count(F.lit(1)).over(w)
     return (
-        value.crossJoin(F.broadcast(total))
-        .filter(
-            F.round("raw_value", 2)
-            > F.round(2.0 * F.col("total_value") / F.col("n_parts"), 2)
-        )
+        value.withColumn("thresh", F.round(2.0 * total / n_parts, 2))
+        .filter(F.round("raw_value", 2) > F.col("thresh"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round("raw_value", 2).alias("part_value"),
@@ -312,13 +317,12 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 (top supplier): the REVENUE view is computed once and
-    reused for both the per-supplier rows and the scalar MAX — in
-    Spark, a cached-free self-reuse via a 1-row aggregate broadcast
-    cross-join, exactly the Q11 pattern.  Revenue is ROUND()ed BEFORE
-    the MAX/equality so the float comparison is engine-deterministic
-    (raw SUM accumulation order differs across engines; rounded sums
-    agree)."""
+    """TPC-H Q15 (top supplier): the oracle's `total_rev = (SELECT
+    MAX ...)` over the REVENUE view becomes rank()=1 over the single
+    evaluated aggregate — one lineitem scan, ties preserved exactly
+    like `= MAX`.  Revenue is ROUND()ed BEFORE the ranking so the
+    float ordering is engine-deterministic (raw SUM accumulation
+    order differs across engines; rounded sums agree)."""
     li = table(spark, sf_dir, "lineitem")
     revenue = (
         li.filter(
@@ -332,11 +336,18 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    from pyspark.sql import Window
+
+    # rank()=1 over the aggregate output instead of a scalar-MAX
+    # self-join: revenue is evaluated ONCE (a self-join would
+    # re-execute the lineitem sum for the MAX branch — realiased
+    # exprIds defeat ReusedExchange), and rank keeps ties exactly like
+    # the oracle's `= MAX` predicate.
+    w = Window.partitionBy().orderBy(F.desc("total_rev"))
     sup = table(spark, sf_dir, "supplier")
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_rev") == F.col("max_rev"))
+        revenue.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
         .join(F.broadcast(sup), F.col("supplier_no") == sup.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").alias("total_revenue"))
         .orderBy("s_suppkey")

@@ -29,6 +29,19 @@ from ..catalog import load_table
 PART_COL = "l_ship_month"
 
 
+def path_tag(sf_dir: str) -> str:
+    """Tmp-cache tag keyed on the FULL sf_dir path (basename +
+    abspath hash), not just its basename — two different directories
+    both named 'sf0.01' must not share (and silently serve) one
+    ingested layout.  Same contract as queries_bucketed._sf_db /
+    queries_incremental's store tag."""
+    import hashlib
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+    return f"{tag}_{h}"
+
+
 def ingest_partitioned(
     spark: SparkSession, sf_dir: str, table: str = "lineitem"
 ) -> str:
@@ -41,7 +54,7 @@ def ingest_partitioned(
     reused instead of rewritten, the nightly-ingest/every-query-read
     split the layout exists for.
     """
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sf_tag = path_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ex9_layout_{sf_tag}", table)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
@@ -89,7 +102,7 @@ def ingest_sorted(
 
     Idempotent: path-keyed by scale factor, overwrite mode.
     """
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sf_tag = path_tag(sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), f"ex9_sorted_{sf_tag}_{block_size}", table
     )
@@ -190,7 +203,7 @@ def ingest_zordered(
 
     Idempotent like the other ingests (path keyed, _SUCCESS check).
     """
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sf_tag = path_tag(sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), f"ex9_zorder_{sf_tag}_{bits}_{block_size}", table
     )
@@ -242,7 +255,7 @@ def ingest_evolving(spark: SparkSession, sf_dir: str, table: str = "orders") -> 
     ``mergeSchema=true``; v1 rows surface NULL for the late column.
     Returns the two generation paths.  Idempotent via _SUCCESS
     markers, same contract as ingest_partitioned."""
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    sf_tag = path_tag(sf_dir)
     root = os.path.join(tempfile.gettempdir(), f"ex9_evolving_{sf_tag}", table)
     v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
     if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in (v1, v2)):
