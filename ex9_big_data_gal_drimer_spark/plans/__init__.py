@@ -134,7 +134,9 @@ _DRIVER_PRIORITY: list[str] = [
 # tpch_q2_min_cost_supplier, tpch_q9_product_type_profit,
 # tpch_q11_important_stock, tpch_q13_customer_distribution,
 # tpch_q15_top_supplier, tpch_q16_parts_supplier_relationship,
-# tpch_q17_small_quantity_revenue, tpch_q20_part_promotion), the
+# tpch_q17_small_quantity_revenue, tpch_q20_part_promotion, and the
+# canonical tpch_q1_pricing_summary / tpch_q3_shipping_priority /
+# tpch_q5_local_supplier_volume), the
 # curation-governance set (queries_curation3.py: domain_quality_cap,
 # source_vocab_overlap, source_unigram_divergence,
 # embedding_label_cohesion, char_window_duplication,
