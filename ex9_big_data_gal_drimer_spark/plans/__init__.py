@@ -144,8 +144,8 @@ _DRIVER_PRIORITY: list[str] = [
 # (queries_embeddings2.py: hard_negative_mining,
 # embedding_quantization_error), schema_evolution_scan
 # (queries_layout.py), join_key_skew_audit (queries_scale_audit.py),
-# layout_file_audit (queries_layout.py), and any later round-4.5
-# additions —
+# layout_file_audit (queries_layout.py), event_transition_matrix
+# (queries_analytics4.py), and any later round-4.5 additions —
 # seat ALL of them first next round, then re-verify the oldest banked
 # rows (r01 vintage) on a rolling basis.
 

@@ -647,3 +647,60 @@ def user_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM trans
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    audit): LEAD over each user's time-ordered stream pairs every
+    event with its successor, one rollup counts (from → to), and the
+    row-conditional probability is a window over the 25-cell
+    aggregate.  The product-analytics path view (where do users go
+    after a click?) and the generative sanity-check for synthetic
+    event streams.  Deterministic: LEAD orders by (ts, event_id) —
+    unique — and p is a ratio of exact counts.  Scale: the only
+    corpus-sized exchange is the user_id window partition (bounded
+    per-user sort, parallel across users); the matrix itself is
+    |event_types|² rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return (
+        trans.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / total, 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
