@@ -103,3 +103,29 @@ def test_event_transition_matrix_recovers_planted_chain(spark, tmp_path):
     con = _duck_view(sf_dir, "events")
     want = con.execute(ORACLES["event_transition_matrix"]).fetchall()
     assert sorted(tuple(r) for r in got.values()) == sorted(want)
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    """Invariant on the real driver corpus: each from_type's outgoing
+    probabilities must sum to ~1.0 (4-decimal rounding tolerance) and
+    counts must equal |events| - |users with >=1 event| (every event
+    except each user's last contributes exactly one transition)."""
+    import os
+
+
+    from ex9_big_data_gal_drimer_spark.catalog import table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    by_from = {}
+    total_n = 0
+    for r in rows:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.p
+        total_n += r.n
+    for from_type, s in by_from.items():
+        assert abs(s - 1.0) < 0.005, (from_type, s)
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total_n == n_events - n_users
