@@ -206,7 +206,8 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cust_rev cr JOIN nation n ON n.n_nationkey = cr.c_nationkey
     )
     SELECT nation, COUNT(*) AS n_customers,
-           CAST(SUM(CASE WHEN cum - rev < 0.8 * tot THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN ROUND(cum - rev, 2) < ROUND(0.8 * tot, 2)
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_top80,
            ROUND(MAX(tot), 2) AS total_revenue
     FROM ranked
@@ -247,7 +248,11 @@ def orders_running_share_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(
-                F.when(F.col("cum") - F.col("rev") < 0.8 * F.col("tot"), 1).otherwise(0)
+                F.when(
+                    F.round(F.col("cum") - F.col("rev"), 2)
+                    < F.round(0.8 * F.col("tot"), 2),
+                    1,
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_top80"),
@@ -611,7 +616,7 @@ def late_event_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
-               SUM(value) AS monetary
+               ROUND(SUM(value), 2) AS monetary
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
     ), rfm AS (
@@ -635,7 +640,7 @@ def user_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("freq"),
-        F.sum("value").alias("monetary"),
+        F.round(F.sum("value"), 2).alias("monetary"),
     )
     rfm = p.select(
         F.ntile(4).over(Window.orderBy(F.desc("last_ts"), "user_id")).alias("r_q"),

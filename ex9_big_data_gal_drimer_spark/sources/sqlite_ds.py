@@ -461,7 +461,7 @@ class SQLiteWriter(DataSourceWriter):
                 conn.execute(f"DROP TABLE IF EXISTS {_qident(name)}")
             stale_after = 3600  # seconds
             now = time.time()
-            for leftover in glob.glob(f"{self.path}.spill-*"):
+            for leftover in glob.glob(glob.escape(self.path) + ".spill-*"):
                 if leftover in live_spills:
                     continue
                 try:
