@@ -37,6 +37,8 @@ from . import queries_tpch  # noqa: F401,E402
 from . import queries_tpch2  # noqa: F401,E402
 from . import queries_analytics4  # noqa: F401,E402
 from . import queries_streaming_state  # noqa: F401,E402
+from . import queries_dedup_oracle  # noqa: F401,E402
+from . import queries_ann_oracle  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -88,6 +90,10 @@ _DRIVER_PRIORITY: list[str] = [
     "join_key_skew_audit",
     "event_transition_matrix",
     # round-5 additions land here (displace fillers below, newest first)
+    "minhash_lsh_oracle_md5",
+    "minhash_estimate_quality_md5",
+    "simhash_hamming_oracle_md5",
+    "knn_ivf_oracle_fixed_centroids",
     # r01-vintage re-verification fillers (displaced by round-5 additions)
     "q1_nation_order_stats",
     "q2_urgent_orders_by_nation",
@@ -110,10 +116,6 @@ _DRIVER_PRIORITY: list[str] = [
     "union_high_value_customers",
     "orders_date_parts",
     "grouping_sets_sql",
-    "multiset_ops_lineitem",
-    "order_price_quantiles",
-    "pivot_status_by_priority",
-    "levenshtein_similar_parts",
 ]
 # 50 priority entries fill the driver's 50-slot window exactly.  Every
 # other query rides on banked green rows (CORRECTNESS_r01-r04) plus

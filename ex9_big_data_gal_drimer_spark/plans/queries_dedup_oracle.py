@@ -1,0 +1,381 @@
+"""Oracle-checked twins of the sketch-dedup tiers (SURVEY.md §2.11 X2).
+
+The production MinHash-LSH / SimHash operators (operators/dedup.py)
+hash with xxhash64 — JVM-only, so their outputs can only be pinned by
+recall-vs-exact property tests (rows-only at the driver).  These twins
+swap the hash family for **md5**, which Spark and DuckDB implement
+identically (RFC 1321, lowercase hex), making the ENTIRE pipeline —
+shingling, minhash, banding, candidate generation, verification —
+bit-reproducible across engines and therefore hash-checkable at the
+driver gate.  Same algorithm, same shuffle topology, different hash
+family; the xxhash64 tier stays the fast path (one 64-bit lane vs a
+16-byte digest + hex/decimal conversion per shingle).
+
+Hash-family bridge used by every query here:
+``md5int(s) = CAST(CONV(SUBSTR(md5(s),1,15),16,10) AS BIGINT)`` (Spark)
+≡ ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` (DuckDB) — 60 bits,
+non-negative, fits BIGINT in both engines.
+
+Scale notes (100 TB): identical to the production tier —
+(doc, shingle, hash-slot) rows are linear in corpus tokens and
+partial-aggregable to the k-slot signature; banding joins are
+equi-joins on (band, key) buckets, never all-pairs; verification only
+touches LSH candidates.  SimHash band-join on nibble positions is the
+standard Hamming-LSH decomposition (r-bit blocks ⇒ catches all pairs
+with Hamming distance < #blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions import tokens, word_shingles
+from .registry import register
+
+#: hashes per signature / LSH bands (r = 2 rows per band)
+_K = 8
+_BANDS = 4
+
+
+def _md5int(col: Column) -> Column:
+    """60-bit integer from the md5 hex digest — identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct 3-word shingles per document."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s"))
+        .distinct()
+    )
+
+
+def _signature(sh: DataFrame) -> DataFrame:
+    """(doc_id, hi, mh): the K-slot md5 MinHash signature."""
+    slots = sh.select(
+        "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(_K - 1))).alias("hi")
+    )
+    h = _md5int(F.concat(F.col("hi").cast("string"), F.lit(":"), F.col("s")))
+    return slots.select("doc_id", "hi", h.alias("h")).groupBy("doc_id", "hi").agg(
+        F.min("h").alias("mh")
+    )
+
+
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key): r=2 minhash slots folded per band."""
+    return sig.groupBy(
+        "doc_id", (F.col("hi") / 2).cast("int").alias("band_id")
+    ).agg(
+        F.concat(
+            F.min(F.when(F.col("hi") % 2 == 0, F.col("mh"))).cast("string"),
+            F.lit("_"),
+            F.min(F.when(F.col("hi") % 2 == 1, F.col("mh"))).cast("string"),
+        ).alias("band_key")
+    )
+
+
+def _candidates(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): distinct pairs sharing at least one band bucket."""
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# Shared oracle CTE prologue: shingles -> signature -> bands -> candidates,
+# the exact SQL mirror of the DataFrame pipeline above.  DuckDB list
+# slices are INCLUSIVE (ts[i:i+2] = 3 tokens); short docs fall back to
+# the whole-text shingle exactly like functions.word_shingles.
+_ORACLE_PRELUDE = """
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest(
+            CASE WHEN len(ts) >= 3
+                 THEN [array_to_string(ts[i:i+2], ' ')
+                       for i in range(1, len(ts) - 1)]
+                 ELSE [array_to_string(ts, ' ')] END) AS s
+        FROM tok
+    ),
+    slots AS (
+        SELECT doc_id, s, unnest(range(0, 8)) AS hi FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, hi,
+               MIN(CAST('0x' || substr(md5(CAST(hi AS VARCHAR) || ':' || s),
+                                       1, 15) AS BIGINT)) AS mh
+        FROM slots GROUP BY doc_id, hi
+    ),
+    bands AS (
+        SELECT doc_id, CAST(hi // 2 AS INTEGER) AS band_id,
+               CAST(MIN(CASE WHEN hi % 2 = 0 THEN mh END) AS VARCHAR)
+               || '_' ||
+               CAST(MIN(CASE WHEN hi % 2 = 1 THEN mh END) AS VARCHAR)
+                   AS band_key
+        FROM sig GROUP BY doc_id, hi // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "minhash_lsh_oracle_md5",
+    oracle=_ORACLE_PRELUDE
+    + """,
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.i * 1.0 / (ca.n + cb.n - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.5
+    ORDER BY i.doc_a, i.doc_b
+    """,
+)
+def minhash_lsh_oracle_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection, oracle-checked:
+    3-word shingles → 8-slot md5 MinHash → 4 bands × 2 rows →
+    band-bucket candidate join → exact-Jaccard verification at 0.5.
+    The driver-checkable twin of ``dedup_minhash_lsh``
+    (operators/dedup.py:211, rows-only by hash family); reference has
+    no dedup surface — build-brief X2 tier.  The sf0.01 corpus plants
+    24 exact + 1 near duplicate pair, all emitted here."""
+    sh = _shingles(spark, sf_dir)
+    cand = _candidates(_band_buckets(_signature(sh)))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            shb,
+            (cand["doc_b"] == shb["doc_b"]) & (F.col("s") == shb["s_b"]),
+        )
+        .groupBy(F.col("doc_a"), cand["doc_b"])
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(j >= 0.5)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "minhash_estimate_quality_md5",
+    oracle=_ORACLE_PRELUDE
+    + """,
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / 8
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT g.doc_a, g.doc_b,
+           ROUND(g.est_jaccard, 4) AS est_jaccard,
+           ROUND(COALESCE(i.i, 0) * 1.0 / (ca.n + cb.n - COALESCE(i.i, 0)), 4)
+               AS true_jaccard,
+           ROUND(ABS(g.est_jaccard
+                     - COALESCE(i.i, 0) * 1.0
+                       / (ca.n + cb.n - COALESCE(i.i, 0))), 4) AS abs_err
+    FROM agree g
+    LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+    JOIN cnt ca ON ca.doc_id = g.doc_a
+    JOIN cnt cb ON cb.doc_id = g.doc_b
+    ORDER BY g.doc_a, g.doc_b
+    """,
+)
+def minhash_estimate_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for every LSH candidate pair,
+    the signature-agreement estimate (matching slots / 8) against the
+    exact shingle Jaccard, with the absolute estimation error — the
+    monitoring row that validates a deployed sketch's accuracy budget.
+    Cross-engine deterministic via the md5 hash family (see module
+    docstring)."""
+    sh = _shingles(spark, sf_dir)
+    sig = _signature(sh)
+    cand = _candidates(_band_buckets(sig))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "hi", F.col("mh").alias("mha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "hi", F.col("mh").alias("mhb"))
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "hi"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0)) / _K
+            ).alias("est_jaccard")
+        )
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            shb,
+            (cand["doc_b"] == shb["doc_b"]) & (F.col("s") == shb["s_b"]),
+        )
+        .groupBy(F.col("doc_a"), cand["doc_b"])
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truej = F.coalesce(F.col("i"), F.lit(0)) / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round(truej, 4).alias("true_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - truej), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "simhash_hamming_oracle_md5",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS cnt,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4294967296 AS hm
+        FROM tok GROUP BY doc_id, w
+    ),
+    bits AS (
+        SELECT doc_id, unnest(range(0, 32)) AS b, cnt, hm FROM wc
+    ),
+    sigbit AS (
+        SELECT doc_id, b,
+               CASE WHEN SUM(cnt * (2 * (CAST(FLOOR(hm / POWER(2, b)) AS BIGINT)
+                                         % 2) - 1)) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM bits GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sh
+        FROM sigbit GROUP BY doc_id
+    ),
+    nib AS (
+        SELECT doc_id, sh, unnest(range(0, 4)) AS n FROM sig
+    ),
+    keyed AS (
+        SELECT doc_id, sh, n,
+               CAST(FLOOR(sh / POWER(256, n)) AS BIGINT) % 256 AS nv
+        FROM nib
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sh AS sa, b.sh AS sb
+        FROM keyed a JOIN keyed b
+          ON a.n = b.n AND a.nv = b.nv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def simhash_hamming_oracle_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, oracle-checked: 32-bit count-weighted
+    md5 SimHash per document, byte-block Hamming-LSH (4 blocks of 8
+    bits — any pair within Hamming distance 3 shares ≥1 intact block,
+    the pigeonhole guarantee), XOR+popcount verification at distance
+    ≤ 1 (the sf0.01 corpus's candidate Hamming distribution has 8
+    pairs at 0 / 45 at 1, then a word-soup noise floor from 2 up —
+    the threshold sits in that gap).  Driver-checkable twin of ``dedup_simhash``
+    (operators/dedup.py:286, rows-only by hash family).  Integer bit
+    votes make the sign rule exactly reproducible — no float ties."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            "cnt",
+            (_md5int(F.col("w")) % F.lit(4294967296).cast("long")).alias("hm"),
+        )
+    )
+    bits = wc.select(
+        "doc_id", "cnt", "hm",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    vote = (
+        2 * (F.floor(F.col("hm") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2)
+        - 1
+    )
+    sigbit = bits.groupBy("doc_id", "b").agg(
+        F.when(F.sum(F.col("cnt") * vote) >= 0, 1).otherwise(0).alias("bit")
+    )
+    sig = sigbit.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("long"))
+        .cast("long")
+        .alias("sh")
+    )
+    keyed = sig.select(
+        "doc_id", "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("n"),
+    ).withColumn(
+        "nv", F.floor(F.col("sh") / F.pow(F.lit(256.0), F.col("n"))).cast("long") % 256
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"), "n", "nv")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"), "n", "nv")
+    cand = (
+        a.join(b, ["n", "nv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.filter(ham <= 1)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
