@@ -39,6 +39,7 @@ from . import queries_analytics4  # noqa: F401,E402
 from . import queries_streaming_state  # noqa: F401,E402
 from . import queries_dedup_oracle  # noqa: F401,E402
 from . import queries_ann_oracle  # noqa: F401,E402
+from . import queries_analytics5  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -94,25 +95,25 @@ _DRIVER_PRIORITY: list[str] = [
     "minhash_estimate_quality_md5",
     "simhash_hamming_oracle_md5",
     "knn_ivf_oracle_fixed_centroids",
+    "user_path_top10",
+    "time_weighted_avg_value",
+    "welch_ttest_purchase_view",
+    "gini_revenue_by_nation",
+    "benford_first_digit_audit",
+    "numeric_corr_matrix_lineitem",
+    "lang_entropy_by_source",
+    "daily_revenue_gapfill_interp",
+    "daily_revenue_moving_median",
+    "user_active_day_streaks",
+    "basket_lift_top_pairs",
+    "quantity_weighted_median_price",
+    "hash_bucket_balance_audit",
+    "acctbal_percentile_profile",
     # r01-vintage re-verification fillers (displaced by round-5 additions)
     "q1_nation_order_stats",
     "q2_urgent_orders_by_nation",
     "q3_order_status_breakdown",
     "q4_nation_rank",
-    "q5_part_token_stats",
-    "q6_customer_concentration",
-    "pricing_summary",
-    "revenue_top_orders",
-    "regional_revenue",
-    "customers_with_orders_semi",
-    "customers_without_orders_anti",
-    "rollup_region_nation",
-    "cube_status_priority",
-    "set_ops_customers",
-    "top_orders_per_nation",
-    "orders_by_month",
-    "json_extract_events",
-    "nation_orders_others_bucket",
     "union_high_value_customers",
     "orders_date_parts",
     "grouping_sets_sql",
