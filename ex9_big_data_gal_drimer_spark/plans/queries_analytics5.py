@@ -317,15 +317,22 @@ def numeric_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric measures, long form — the feature-screening pass before
     any model fit.  ONE scan computes all six coefficients as
     parallel aggregates (the oracle's six scans are DuckDB-side
-    only); stack() unpivots the 1-row aggregate JVM-side."""
+    only); stack() unpivots the 1-row aggregate JVM-side.  Pearson is
+    built from covar_samp/stddev with a zero-variance guard because
+    Spark's ANSI corr() raises DIVIDE_BY_ZERO on a constant column
+    where DuckDB's corr() returns NULL (pinned in test_round5)."""
     li = table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    def corr(a: str, b: str):
+        denom = F.stddev_samp(a) * F.stddev_samp(b)
+        return F.round(
+            F.when(denom > 0, F.covar_samp(a, b) / denom), 4
+        )
+
     agg = li.agg(
-        *[
-            F.round(F.corr(a, b), 4).alias(f"c{i}")
-            for i, (a, b) in enumerate(pairs)
-        ]
+        *[corr(a, b).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
     )
     stack_args = ", ".join(
         f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
