@@ -54,6 +54,39 @@ def make_png(width: int, height: int, seed_bytes: bytes) -> bytes:
     )
 
 
+def make_png_rgb(width: int, height: int, body: bytes) -> bytes:
+    """Deterministic VALID RGB PNG (color type 2, filter 0 scanlines)
+    whose pixel bytes are exactly ``body[:width*height*3]`` tiled —
+    i.e. the same image a P6 PPM with that body encodes, so the two
+    containers decode to identical pixels (decode-parity fixture for
+    multimodal.decode_png_pixels).  Unlike :func:`make_png` (whose
+    scanlines are arbitrary seed bytes — chunk-walk fixtures, not
+    decodable), every scanline here carries a spec-valid filter byte."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    need = stride * height
+    src = body or b"\x00"
+    pixels = (src * (need // len(src) + 1))[:need]
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 @udtf(
     returnType="chunk_index int, chunk_type string, data_len int, "
     "crc_ok boolean, truncated boolean"

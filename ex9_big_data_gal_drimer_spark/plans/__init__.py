@@ -55,86 +55,99 @@ from . import queries_analytics5  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-5 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
-    # oracle-bearing queries are seated.  25 oracle-bearing queries were
-    # added after the round-4 window was committed (ROUND-5 ROTATION note
-    # below) — all seated first here.  The remaining 25 slots go to new
-    # round-5 queries as they land; until then they re-verify the oldest
-    # banked rows (r01 vintage) on the rolling basis the round-3 judge
-    # asked for.
+    # ROUND-6 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
+    # oracle-bearing queries are seated.  As of round 5 every oracle-
+    # bearing query has a banked hash-green row (173/173, VERDICT r5),
+    # so this window = (a) queries whose oracle is NEW or whose
+    # semantics CHANGED this round, then (b) the oldest-vintage banked
+    # rows on the rolling re-verification basis — all 37 r02-vintage
+    # rows plus the 8 alphabetically-first r03-vintage rows.
     # ------------------------------------------------------------------
-    # 25 pending: added after the r4 window froze, hash-green in
-    # CORRECTNESS_LOCAL_r04 but never driver-checked
-    "merge_sink_upsert_totals",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_bucketed",
-    "domain_quality_cap",
-    "source_vocab_overlap",
-    "source_unigram_divergence",
-    "embedding_label_cohesion",
-    "char_window_duplication",
-    "adaptive_quality_threshold",
-    "hard_negative_mining",
-    "embedding_quantization_error",
-    "schema_evolution_scan",
-    "layout_file_audit",
-    "join_key_skew_audit",
-    "event_transition_matrix",
-    # round-5 additions land here (displace fillers below, newest first)
-    "minhash_lsh_oracle_md5",
-    "minhash_estimate_quality_md5",
-    "simhash_hamming_oracle_md5",
-    "knn_ivf_oracle_fixed_centroids",
-    "user_path_top10",
-    "time_weighted_avg_value",
-    "welch_ttest_purchase_view",
-    "gini_revenue_by_nation",
-    "benford_first_digit_audit",
-    "numeric_corr_matrix_lineitem",
-    "lang_entropy_by_source",
-    "daily_revenue_gapfill_interp",
-    "daily_revenue_moving_median",
-    "user_active_day_streaks",
-    "basket_lift_top_pairs",
-    "quantity_weighted_median_price",
-    "hash_bucket_balance_audit",
+    # (a) new this round (round-5 verdict ask #5: oracle-checkable
+    # md5-order sampling twins) + changed this round (ask #3/#4
+    # re-grained plans; user_path_top10 NULL-handling parity fix)
+    "sample_md5_topn_orders",
+    "sample_md5_stratified_orders",
     "acctbal_percentile_profile",
-    # r01-vintage re-verification fillers (displaced by round-5 additions)
-    "q1_nation_order_stats",
-    "q2_urgent_orders_by_nation",
-    "q3_order_status_breakdown",
-    "q4_nation_rank",
-    "union_high_value_customers",
-    "orders_date_parts",
-    "grouping_sets_sql",
+    "quantity_weighted_median_price",
+    "user_path_top10",
+    # (b) rolling re-verification: the full r02 vintage (37)
+    "case_map_event_severity",
+    "cube_status_priority",
+    "customers_with_orders_semi",
+    "customers_without_orders_anti",
+    "dedup_apply_ngram",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",
+    "doc_fingerprint_stats",
+    "embedding_stats_by_label",
+    "event_type_rates",
+    "events_click_purchase_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_tumbling_1h",
+    "json_extract_events",
+    "knn_bruteforce_cosine",
+    "lang_distribution",
+    "latest_event_per_user",
+    "levenshtein_similar_parts",
+    "multiset_ops_lineitem",
+    "nation_orders_others_bucket",
+    "order_price_quantiles",
+    "orders_by_month",
+    "pivot_status_by_priority",
+    "pricing_summary",
+    "q5_part_token_stats",
+    "q6_customer_concentration",
+    "regional_revenue",
+    "revenue_top_orders",
+    "rollup_region_nation",
+    "set_ops_customers",
+    "skew_salted_revenue",
+    "text_quality_by_source",
+    "top_orders_per_nation",
+    "unpivot_priority_counts",
+    "word_freq_top20",
+    # (b) continued: oldest r03-vintage rows (8 of 36)
+    "asof_latest_purchase",
+    "bm25_rank_docs",
+    "bpe_token_stats",
+    "bucketed_join_segment_revenue",
+    "chunk_documents",
+    "curate_training_corpus",
+    "customer_order_gaps",
+    "dataset_split_assign",
 ]
-# 50 priority entries fill the driver's 50-slot window exactly.  Every
-# other query rides on banked green rows (CORRECTNESS_r01-r04) plus
-# the local differential suite, which covers all queries regardless of
-# position.  Bookkeeping at the start of round 5 (counts corrected per
-# round-4 ADVICE): the registry carries 155 oracles; the union of
-# r01-r04 driver rows covers 130 of them; the 25 pending queries are
-# seated first above.  After CORRECTNESS_r05 banks this window, every
-# oracle-bearing query registered before round 5 has a driver-green
-# row, and the filler slots re-confirm the oldest r01 bank.
+# 50 priority entries fill the driver's 50-slot window exactly
+# (asserted below).  Every other query rides on banked green rows
+# (CORRECTNESS_r01-r05) plus the local differential suite, which
+# covers all queries regardless of position.  Bookkeeping at the start
+# of round 6: registry 199 queries / 175 oracles; the union of
+# r01-r05 banks covers all 173 pre-round-6 oracles (vintages after
+# CORRECTNESS_r05: 37×r02, 36×r03, 50×r04, 50×r05); the 2 new + 3
+# changed entries seated first are the only rows without a current
+# bank.  After CORRECTNESS_r06 banks this window, no oracle row is
+# older than r03.
 #
-# ROUND-6 ROTATION: seat (1) any oracle-bearing query added after this
-# window froze (listed here as they land), then (2) continue the
-# rolling r01/r02-vintage re-verification with the remaining slots.
+# ROUND-7 ROTATION: seat (1) any oracle-bearing query added/changed
+# after this window froze, then (2) the remaining 28 r03-vintage rows
+# (dedup_connected_components, dedup_embedding_cosine,
+# doc_quality_scores, doc_repetition_quality, ... alphabetical) and
+# the oldest r04 rows with the remaining slots.
 
 
 def _reorder_for_driver() -> None:
-    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+    # Round-5 ADVICE: a typo in the hand-maintained list must fail loudly,
+    # not silently shift the exactly-50 driver window.
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"_DRIVER_PRIORITY names absent from QUERIES: {missing}"
+    assert len(_DRIVER_PRIORITY) == 50, (
+        f"_DRIVER_PRIORITY must fill the 50-slot window exactly, "
+        f"got {len(_DRIVER_PRIORITY)}"
+    )
+    assert len(set(_DRIVER_PRIORITY)) == 50, "_DRIVER_PRIORITY has duplicates"
+    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY}
     for n, fn in QUERIES.items():
         if n not in ordered:
             ordered[n] = fn

@@ -62,10 +62,14 @@ def user_path_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         r.groupBy("user_id")
         .agg(
-            F.concat_ws(
-                ">",
+            # F.concat, not concat_ws: NULL-propagating like the oracle's
+            # `||`, so a NULL event_type yields a NULL path in BOTH engines
+            # instead of a silently shortened path here (round-5 ADVICE).
+            F.concat(
                 F.min(F.when(F.col("rn") == 1, F.col("event_type"))),
+                F.lit(">"),
                 F.min(F.when(F.col("rn") == 2, F.col("event_type"))),
+                F.lit(">"),
                 F.min(F.when(F.col("rn") == 3, F.col("event_type"))),
             ).alias("path"),
             F.count(F.lit(1)).alias("k"),
@@ -651,61 +655,62 @@ def basket_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantity_weighted_median_price",
     oracle="""
-    WITH w AS (
+    WITH g AS (
         SELECT l_returnflag, l_extendedprice,
-               SUM(l_quantity) OVER (
-                   PARTITION BY l_returnflag
-                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
-                   ROWS UNBOUNDED PRECEDING) AS cum,
-               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
-        FROM lineitem
+               CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY l_returnflag, l_extendedprice
     ),
-    hit AS (
+    w AS (
         SELECT l_returnflag, l_extendedprice,
-               ROW_NUMBER() OVER (
+               SUM(qty) OVER (
                    PARTITION BY l_returnflag
-                   ORDER BY l_extendedprice, cum) AS rn
-        FROM w WHERE cum >= tot / 2
+                   ORDER BY l_extendedprice
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+        FROM g
     )
     SELECT l_returnflag,
-           ROUND(l_extendedprice, 2) AS weighted_median_price
-    FROM hit WHERE rn = 1
+           ROUND(MIN(l_extendedprice), 2) AS weighted_median_price
+    FROM w WHERE cum >= tot / 2
+    GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
 def quantity_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median of extended price per return flag: the
-    first price (ascending, keyed tie-break) whose cumulative quantity
-    reaches half the flag's total — the inventory-weighted price
-    center plain MEDIAN misses.  Quantities are integer-valued, so the
-    running sums are exact in both engines and the boundary test
-    cannot flip.  At extreme scale the same cut comes from a
-    weighted approx_percentile; this exact form is its oracle."""
+    first price (ascending) whose cumulative quantity reaches half the
+    flag's total — the inventory-weighted price center plain MEDIAN
+    misses.  Two-level plan (round-5 verdict #3): a partial-aggregable
+    groupBy collapses the fact table to (flag, price) partials FIRST,
+    and the cumulative window runs over that bounded grain — distinct
+    extended prices are capped by the part-price × quantity grid, so
+    at 100× data the 3-partition sort sees the same row count, not ⅓
+    of the fact table each.  The first PRICE whose price-grain
+    cumulative reaches half the total is identical to the first ROW's
+    price under row-level cumulation, so the re-grain preserves the
+    banked answer bit-for-bit.  Quantities are integer-valued doubles,
+    so the running sums are exact in both engines and the boundary
+    test cannot flip."""
     li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("l_quantity").cast("double").alias("qty")
+    )
     wcum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wtot = Window.partitionBy("l_returnflag")
-    w = li.select(
+    w = g.select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum("l_quantity").over(wcum).alias("cum"),
-        F.sum("l_quantity").over(wtot).alias("tot"),
-    )
-    hit = w.filter(F.col("cum") >= F.col("tot") / 2).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "cum")
-        ),
+        F.sum("qty").over(wcum).alias("cum"),
+        F.sum("qty").over(wtot).alias("tot"),
     )
     return (
-        hit.filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag",
-            F.round("l_extendedprice", 2).alias("weighted_median_price"),
-        )
+        w.filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("weighted_median_price"))
         .orderBy("l_returnflag")
     )
 
@@ -763,28 +768,73 @@ def hash_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "acctbal_percentile_profile",
     oracle="""
-    SELECT c_mktsegment, c_custkey,
-           ROUND(PERCENT_RANK() OVER (
-               PARTITION BY c_mktsegment
-               ORDER BY c_acctbal, c_custkey), 4) AS pct_rank,
-           ROUND(CUME_DIST() OVER (
-               PARTITION BY c_mktsegment
-               ORDER BY c_acctbal, c_custkey), 4) AS cume_d
-    FROM customer
-    ORDER BY c_mktsegment, c_custkey
+    WITH g AS (
+        SELECT c_mktsegment, c_acctbal, COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment, c_acctbal
+    ),
+    w AS (
+        SELECT c_mktsegment, c_acctbal, n,
+               SUM(n) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY c_mktsegment) AS tot
+        FROM g
+    )
+    SELECT c_mktsegment,
+           CAST(LEAST((cum - n) * 10 // tot, 9) AS INTEGER) AS decile,
+           CAST(SUM(n) AS BIGINT) AS n_customers,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM w
+    GROUP BY c_mktsegment, decile
+    ORDER BY c_mktsegment, decile
     """,
 )
 def acctbal_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment account-balance percentile profile: PERCENT_RANK
-    and CUME_DIST for every customer within their market segment —
-    the remaining rank-family windows the suite had not yet pinned.
-    The custkey tie-break makes peer groups singletons, so both
-    engines emit identical fractions."""
+    """Per-segment account-balance DECILE profile: customers bucketed
+    by their within-segment balance percentile into ten bands, with
+    per-band counts and balance ranges.  Re-grained per the round-5
+    verdict (#4): the old form ran PERCENT_RANK over every raw
+    customer row partitioned five ways and emitted one row per
+    customer — both the sort skew and the result grew with the data.
+    This form aggregates to (segment, distinct balance) FIRST — a
+    partial-aggregable shuffle, grain bounded by the balance domain
+    (~1.1 M cents-granular values) regardless of row count — then the
+    cumulative window runs above that aggregate (plan-audit
+    discipline) and the output is a fixed ≤ 5×10 rows.  The decile is
+    integer arithmetic ((rows strictly below) * 10 DIV total), so no
+    float boundary can flip a bucket between engines."""
     c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    g = c.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("c_mktsegment")
+    w = g.select(
         "c_mktsegment",
-        "c_custkey",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume_d"),
-    ).orderBy("c_mktsegment", "c_custkey")
+        "c_acctbal",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("tot"),
+    )
+    return (
+        w.select(
+            "c_mktsegment",
+            F.least(
+                F.expr("(cum - n) * 10 div tot"), F.lit(9)
+            ).cast("int").alias("decile"),
+            "c_acctbal",
+            "n",
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.sum("n").cast("long").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )

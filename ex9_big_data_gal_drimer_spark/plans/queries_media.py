@@ -68,6 +68,63 @@ def media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_to_ppm_and_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Both containers of the SAME image per doc: P6 PPM and a valid
+    RGB PNG tiling identical pixel bytes."""
+    from ..operators.udtf_media import make_png_rgb
+
+    for pdf in batches:
+        ppms, pngs = [], []
+        for t in pdf["text"]:
+            raw = (t or " ").encode("utf-8", "replace")
+            body = (raw * (_BODY // len(raw) + 1))[:_BODY]
+            ppms.append(f"P6\n{_W} {_H}\n255\n".encode() + body)
+            pngs.append(make_png_rgb(_W, _H, body))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "ppm": ppms, "png": pngs}
+        )
+
+
+@register("media_png_decode_parity")
+def media_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 decode-parity audit (round-5 verdict ask #6 made a registry
+    query): each doc's pixels encoded BOTH as P6 PPM and as a
+    zlib-compressed RGB PNG, both decoded by the REAL stdlib decoders
+    (PPM header parse; PNG inflate + unfilter), features compared.
+    n_mismatched must be 0 — a decoder bug in either path flips it.
+    Rows-only: DuckDB cannot inflate PNGs; the decode math itself is
+    pinned by tests/test_multimodal.py's all-filters parity test.
+
+    Scale shape: synthesis and both decodes are Arrow-batched
+    mapInPandas; the join is a broadcast-size equi-join on media_id at
+    the audited grain, and the output is one bounded summary row."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    both = docs.mapInPandas(
+        _text_to_ppm_and_png, "media_id long, ppm binary, png binary"
+    )
+    ppm_f = extract_features(
+        both.select("media_id", F.col("ppm").alias("payload")),
+        num_features=8,
+        real_decoder=True,
+    ).select("media_id", F.col("features").alias("ppm_features"))
+    png_f = extract_features(
+        both.select("media_id", F.col("png").alias("payload")),
+        num_features=8,
+        real_decoder=True,
+    ).select("media_id", F.col("features").alias("png_features"))
+    joined = ppm_f.join(png_f, "media_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(
+            F.when(F.col("ppm_features") != F.col("png_features"), 1).otherwise(0)
+        ).cast("long").alias("n_mismatched"),
+    )
+
+
 def _text_to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..operators.udtf_media import make_png
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import register_views, table
 from ..operators.relational import others_bucket
@@ -181,6 +182,90 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         table(spark, sf_dir, "orders"), ["o_orderpriority"], 100, seed=42
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "sample_md5_topn_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS total_price
+    FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+        LIMIT 200
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def sample_md5_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1's ORACLE-CHECKABLE twin (round-5 verdict #5): the 200 orders
+    with the smallest md5(o_orderkey) — a deterministic hash-order
+    sample both engines compute bit-identically, unlike F.rand(42)
+    whose stream matches no DuckDB RNG (seeded_sample_orders stays the
+    production tier).  Statistically uniform: md5 scrambles key order,
+    so the selected set is an unbiased 200-row draw, reproducible
+    forever and append-stable (new keys displace old ones only by hash
+    order).  Plan: TakeOrderedAndProject — per-partition top-200 then
+    a 200·P-row driver merge, no global sort, 100 TB-safe.
+    Reference seed: main.py:257-258 (seeded result sampling)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.md5(F.col("o_orderkey").cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "sample_md5_stratified_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rn
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS total_price
+    FROM r WHERE rn <= 40
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def sample_md5_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2's ORACLE-CHECKABLE twin: exact 40-per-priority quota drawn
+    by smallest md5(o_orderkey) within each stratum — same window
+    shape as stratified_sample_orders (the F.rand production tier)
+    but reproducible across engines, so the driver banks a hash-green
+    row for the §2.9 stratified operator.  One shuffle on the stratum
+    key; md5 is unique per key so no tie can flip membership.
+    Reference seed: main.py:259-262 (stratified variant)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string"))
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
 
 
 @register("sample_fractions_lineitem")

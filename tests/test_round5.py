@@ -323,16 +323,32 @@ def test_weighted_median_crosses_half_total(spark, tmp_path):
     assert len(got) == 1 and got[0].weighted_median_price == 30.0
 
 
-def test_percentile_profile_fractions(spark, tmp_path):
-    """4 customers in one segment → pct_rank 0, 1/3, 2/3, 1 and
-    cume_dist 1/4..4/4 in balance order."""
-    cust = [(i, f"c{i}", 0, float(i * 10), "SEG") for i in range(4)]
+def test_percentile_profile_deciles(spark, tmp_path):
+    """20 customers with distinct ascending balances land two per
+    decile; band ranges track the balance order."""
+    cust = [(i, f"c{i}", 0, float(i * 5), "SEG") for i in range(20)]
     sf_dir = _write(spark, tmp_path, "customer", cust,
                     "c_custkey long, c_name string, c_nationkey int,"
                     " c_acctbal double, c_mktsegment string")
-    got = {r.c_custkey: r for r in QUERIES["acctbal_percentile_profile"](spark, sf_dir).collect()}
-    assert [got[i].pct_rank for i in range(4)] == [0.0, 0.3333, 0.6667, 1.0]
-    assert [got[i].cume_d for i in range(4)] == [0.25, 0.5, 0.75, 1.0]
+    got = QUERIES["acctbal_percentile_profile"](spark, sf_dir).collect()
+    assert [r.decile for r in got] == list(range(10))
+    assert all(r.n_customers == 2 for r in got)
+    assert [r.min_bal for r in got] == [float(d * 10) for d in range(10)]
+    assert [r.max_bal for r in got] == [float(d * 10 + 5) for d in range(10)]
+
+
+def test_percentile_profile_tied_balances_share_a_band(spark, tmp_path):
+    """A tied balance group is assigned ONE decile (by rows strictly
+    below it), never split across bands."""
+    cust = [(i, f"c{i}", 0, 100.0, "SEG") for i in range(9)]
+    cust.append((9, "c9", 0, 200.0, "SEG"))
+    sf_dir = _write(spark, tmp_path, "customer", cust,
+                    "c_custkey long, c_name string, c_nationkey int,"
+                    " c_acctbal double, c_mktsegment string")
+    got = {r.decile: r for r in QUERIES["acctbal_percentile_profile"](spark, sf_dir).collect()}
+    assert set(got) == {0, 9}
+    assert got[0].n_customers == 9 and got[0].min_bal == got[0].max_bal == 100.0
+    assert got[9].n_customers == 1 and got[9].min_bal == 200.0
 
 
 def test_user_path_counts_only_complete_triples(spark, tmp_path):
@@ -377,11 +393,12 @@ def test_benford_digits_and_chi2_on_planted_values(spark, tmp_path):
 def test_hash_bucket_balance_is_complete_and_normalized(spark, duck):
     """On the driver corpus: buckets span 0..31, row counts sum to
     |orders|, and load factors average 1."""
-    sf_dir = "/root/testdata/sf0.001"
+    from conftest import SF_DIR as sf_dir
+
     got = QUERIES["hash_bucket_balance_audit"](spark, sf_dir).collect()
     assert [r.bucket for r in got] == list(range(32))
     n_orders = duck.execute(
-        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/orders.parquet'"
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'"
     ).fetchone()[0]
     assert sum(r.n_rows for r in got) == n_orders
     assert abs(sum(r.load_factor for r in got) / 32 - 1.0) < 0.01
@@ -398,7 +415,8 @@ def test_lang_entropy_uniform_vs_degenerate(spark, tmp_path):
     sf_dir = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
     got = {r.source: r for r in QUERIES["lang_entropy_by_source"](spark, sf_dir).collect()}
     assert got["uniform"].n_langs == 4 and got["uniform"].lang_entropy == 2.0
-    assert got["mono"].n_langs == 1 and got["mono"].lang_entropy == -0.0 or got["mono"].lang_entropy == 0.0
+    assert got["mono"].n_langs == 1
+    assert got["mono"].lang_entropy == 0.0
 
 
 def test_corr_matrix_sign_on_planted_columns(spark, tmp_path):

@@ -49,3 +49,39 @@ def test_fraction_sample_is_shuffle_free(spark):
     assert count_exchanges(df) <= 2
     a = _rows(spark, "sample_fractions_lineitem")
     assert sorted(a) == sorted(_rows(spark, "sample_fractions_lineitem"))
+
+def test_md5_topn_sample_matches_duckdb(spark, duck):
+    """The hash-order twin is bit-identical across engines: same 200
+    keys DuckDB selects by the same md5 ordering."""
+    got = sorted(_rows(spark, "sample_md5_topn_orders"))
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2)
+            FROM (
+                SELECT * FROM '{SF_DIR}/orders.parquet'
+                ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200
+            ) ORDER BY o_orderkey
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_md5_stratified_sample_quota_and_determinism(spark):
+    from collections import Counter
+
+    a = _rows(spark, "sample_md5_stratified_orders")
+    assert a == _rows(spark, "sample_md5_stratified_orders")
+    per = Counter(r[1] for r in a)
+    assert len(per) == 5 and all(c <= 40 for c in per.values())
+    assert all(c > 0 for c in per.values())
+
+
+def test_md5_topn_plan_is_take_ordered(spark):
+    """The scale path must be per-partition top-n (TakeOrderedAndProject),
+    not a global sort."""
+    df = QUERIES["sample_md5_topn_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
