@@ -603,24 +603,34 @@ def basket_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets of part
     brands: support, confidence, and the top-20 pairs by lift —
     extends part_cooccurrence_top20 with the normalized association
-    strength.  Baskets are (order, brand)-distinct, the pair join is
-    keyed on l_orderkey (bounded by brands-per-order, never
-    all-pairs), and the 1-row total broadcasts.  Lift values are
-    integer ratios computed identically in both engines, so the
-    ordering cannot flip."""
+    strength.  Baskets are brand-sets aggregated per order in ONE
+    shuffle; pairs come from chained explodes over each basket array
+    (map-side, bounded by brands-per-order², never corpus all-pairs);
+    the 1-row total broadcasts.  Lift values are integer ratios
+    computed identically in both engines, so the ordering cannot
+    flip."""
     li = table(spark, sf_dir, "lineitem")
     pt = table(spark, sf_dir, "part")
-    ob = (
+    # One basket-build shuffle: collect_set(brand) per order replaces
+    # the old distinct + keyed self-join (which shipped the (order,
+    # brand) stream through three exchanges — 21 MB, the suite's worst
+    # shuffler in SHUFFLE_r05).  Pair generation is two chained
+    # explodes over the basket array — map-side, no shuffle — and the
+    # pair rollup's map-side combine ships only (brand_a, brand_b)
+    # partial counts, bounded by |brands|² per task.
+    baskets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
     )
     t = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ob = baskets.select(
+        "l_orderkey", F.explode("brands").alias("p_brand")
+    )
     bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("nb"))
-    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
     pairs = (
-        a.join(b, "l_orderkey")
+        baskets.select(F.explode("brands").alias("brand_a"), "brands")
+        .select("brand_a", F.explode("brands").alias("brand_b"))
         .filter(F.col("brand_a") < F.col("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("nab"))

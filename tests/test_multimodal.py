@@ -318,3 +318,79 @@ def test_png_decode_rejects_unsupported():
     # IHDR interlace byte is the 13th of the IHDR payload (offset 8+8+12)
     interlaced[8 + 8 + 12] = 1
     assert decode_png_pixels(bytes(interlaced)) is None
+
+def _gif_real(pixels, version=b"GIF89a", with_extension=False) -> bytes:
+    """Real GIF encoder for fixtures: global 256-color palette, one
+    non-interlaced frame, LZW-coded as literal 9-bit codes with
+    periodic CLEARs (the classic "uncompressed GIF" encoding — valid
+    LZW a conforming decoder must accept)."""
+    h, w = len(pixels), len(pixels[0])
+    colors = sorted({px for row in pixels for px in row})
+    assert len(colors) <= 256
+    index = {c: i for i, c in enumerate(colors)}
+    palette = bytearray()
+    for c in colors:
+        palette += bytes(c)
+    palette += b"\x00" * (768 - len(palette))
+    min_code = 8
+    clear, end = 256, 257
+    codes = [clear]
+    for n, row in enumerate(pixels):
+        for px in row:
+            if len(codes) % 250 == 0:
+                codes.append(clear)
+            codes.append(index[px])
+    codes.append(end)
+    acc = accn = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << accn
+        accn += 9
+        while accn >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            accn -= 8
+    if accn:
+        packed.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    out = bytearray()
+    out += version
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += palette
+    if with_extension:  # graphic control extension, must be skipped
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code]) + sub
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_matches_bmp(spark):
+    """A real LZW-coded GIF decodes to the SAME features as the BMP of
+    the same pixels — genuine LZW + palette decode, no library."""
+    gif = _gif_real(_PIXELS5, with_extension=True)
+    df = spark.createDataFrame(
+        [(1, gif), (2, _bmp(_PIXELS5))], "media_id long, payload binary"
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_features(df, num_features=8, real_decoder=True).collect()
+    }
+    assert rows[1].features == rows[2].features
+
+
+def test_gif_decode_large_frame_and_variants():
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import decode_gif_pixels
+
+    # > 250 pixels forces mid-stream CLEAR codes through the decoder
+    big = [[(x % 5 * 40, y % 5 * 50, (x + y) % 7 * 30) for x in range(23)] for y in range(19)]
+    px = decode_gif_pixels(_gif_real(big, version=b"GIF87a"))
+    assert px is not None and px.shape == (19, 23, 3)
+    assert [tuple(int(v) for v in px[4, 7])] == [big[4][7]]
+    assert decode_gif_pixels(_gif(320, 200)) is None  # header-only fixture
+    assert decode_gif_pixels(b"GIF89ajunk") is None

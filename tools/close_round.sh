@@ -1,0 +1,19 @@
+#!/bin/bash
+# End-of-round artifact regeneration (run SEQUENTIALLY from repo root;
+# concurrent Spark/pytest processes skew bench medians).
+# Usage: tools/close_round.sh r06
+set -e
+R=${1:?round tag, e.g. r06}
+cd "$(dirname "$0")/.."
+echo "=== bench sf0.1 -> BENCH_FULL_${R}.json ==="
+SPARK_GRAFT_BENCH_OUT=BENCH_FULL_${R}.json python bench.py > /tmp/bench_${R}.json
+echo "=== DuckDB baseline -> DUCKDB_SF01.json ==="
+python tools/duckdb_baseline.py /root/testdata/sf0.1 DUCKDB_SF01.json
+echo "=== shuffle audit -> SHUFFLE_${R}.json ==="
+python tools/shuffle_audit.py /root/testdata/sf0.1 SHUFFLE_${R}.json
+echo "=== full-registry preflight -> CORRECTNESS_LOCAL_${R}.json ==="
+python tools/preflight.py /root/testdata/sf0.01 999 CORRECTNESS_LOCAL_${R}.json
+echo "=== scaling benches ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_001.json python bench.py > /tmp/scaling_001_${R}.json
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_01.json python bench.py > /tmp/scaling_01_${R}.json
+echo "=== DONE — now update BASELINE.md tables, README counts, PLANS.md shuffle headline ==="

@@ -18,11 +18,29 @@ draw of the same generator:
   the property the re-grained window plans rely on.
 - events: event_id/user_id offsets; timestamps untouched (10× events
   per hour bucket — the streaming/sessionize stress case).
-- documents: doc_id offset; replicas >0 get a ``" repN"`` suffix so
-  the exact-dup rate matches the base corpus instead of making every
-  doc a 10-way duplicate (n_chars adjusted to stay consistent).
-- embeddings: vec_id offset, vectors/labels unchanged (ANN centroids
-  and label cohesion see the same geometry at 10× density).
+- documents: doc_id offset; replicas >0 get their token sequence
+  deterministically SHUFFLED (hash-of-(doc,position,replica) sort
+  order) plus a ``" repN"`` suffix.  A plain copy would make every
+  doc a 10-way near-duplicate (jaccard ≈1 shingle sets) —
+  quadratically inflating MinHash/SimHash/n-gram candidate pairs far
+  beyond what a genuinely larger draw of the word-sampling generator
+  produces — and mere token ROTATION is not enough (it preserves all
+  adjacencies but the seam, measured jaccard ≈0.9).  Shuffling
+  preserves each doc's unigram vocabulary, length, and language (so
+  vocab-overlap / lang-mix / quality distributions scale faithfully)
+  while rebuilding its k-gram shingles from scratch — which matches
+  the base generator, whose docs are near-random word sequences.
+  n_chars is recomputed from the rewritten text.
+- embeddings: vec_id offset; replicas >0 get their DIMENSIONS
+  cyclically rotated by the replica index.  Identical copies would
+  make every vector a 10-way exact near-dup (cosine 1) — the same
+  quadratic artifact.  Rotation preserves norms and within-replica
+  geometry (each label cluster maps to an equally tight rotated
+  cluster) while decorrelating across replicas.
+- part names are deliberately NOT perturbed: TPC-H p_name draws short
+  strings from a tiny word pool, so a larger genuine draw has the
+  same name-collision density — the quadratic pair growth in
+  edit-distance blocking is intrinsic to that query, not an artifact.
 
 DuckDB does the rewrite (UNION ALL of offset SELECTs → one parquet
 file per table, matching the driver's single-file layout).
@@ -52,7 +70,6 @@ KEYED = {
         "l_suppkey": "supplier",
     },
     "events": {"event_id": "events", "user_id": "customer"},
-    "embeddings": {"vec_id": "embeddings"},
 }
 
 #: owning table -> the column whose max defines its key domain
@@ -110,15 +127,31 @@ def main() -> int:
         n = con.execute(f"SELECT COUNT(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
-    # documents: offset + per-replica suffix keeps the near/exact-dup
-    # rate of the base corpus instead of inflating it 10-fold.
+    # documents: offset + deterministic per-replica token shuffle (see
+    # module docstring) keeps the near/exact-dup rate of the base
+    # corpus instead of making every doc a 10-way near-dup cluster.
     selects = [f"SELECT * FROM '{src}/documents.parquet'"]
     for i in range(1, replicas):
         selects.append(
-            f"SELECT doc_id + {i * spans['documents']} AS doc_id, "
-            f"text || ' rep{i}' AS text, lang, source, "
-            f"n_chars + {len(f' rep{i}')} AS n_chars "
-            f"FROM '{src}/documents.parquet'"
+            f"""
+            SELECT d.doc_id + {i * spans['documents']} AS doc_id,
+                   s.text || ' rep{i}' AS text,
+                   d.lang, d.source,
+                   CAST(LENGTH(s.text) + {len(f' rep{i}')} AS BIGINT) AS n_chars
+            FROM '{src}/documents.parquet' d
+            JOIN (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY
+                           hash(doc_id * 1000003 + pos * 31 + {i}), pos) AS text
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok,
+                           unnest(range(len(string_split(text, ' ')))) AS pos
+                    FROM '{src}/documents.parquet'
+                )
+                GROUP BY doc_id
+            ) s USING (doc_id)
+            """
         )
     con.execute(
         f"COPY ({' UNION ALL '.join(selects)}) TO "
@@ -128,6 +161,28 @@ def main() -> int:
         f"SELECT COUNT(*) FROM '{out_dir}/documents.parquet'"
     ).fetchone()[0]
     print(f"documents: {n} rows")
+
+    # embeddings: offset + dimension rotation decorrelates replicas
+    # while preserving norms and within-replica cluster geometry.
+    selects = [f"SELECT * FROM '{src}/embeddings.parquet'"]
+    for i in range(1, replicas):
+        rot = (
+            f"CAST(list_concat(embedding[{i} % len(embedding) + 1:], "
+            f"embedding[1:{i} % len(embedding)]) AS FLOAT[])"
+        )
+        selects.append(
+            f"SELECT vec_id + {i * spans['embeddings']} AS vec_id, "
+            f"{rot} AS embedding, label "
+            f"FROM '{src}/embeddings.parquet'"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(selects)}) TO "
+        f"'{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{out_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    print(f"embeddings: {n} rows")
     return 0
 
 
