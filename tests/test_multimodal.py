@@ -394,3 +394,233 @@ def test_gif_decode_large_frame_and_variants():
     assert [tuple(int(v) for v in px[4, 7])] == [big[4][7]]
     assert decode_gif_pixels(_gif(320, 200)) is None  # header-only fixture
     assert decode_gif_pixels(b"GIF89ajunk") is None
+
+
+def _jpeg_real(pixels, subsample=False, restart_interval=0, gray=False) -> bytes:
+    """Real baseline JPEG encoder for fixtures — RGB→YCbCr, optional
+    4:2:0 chroma subsampling, forward DCT, UNIT quantization tables
+    (near-lossless), run-length + canonical-huffman entropy coding
+    with custom minimal DHT tables, optional restart markers.  Pure
+    Python+numpy so the decoder is exercised against an independent
+    spec implementation, not its own inverse tricks."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        _ZIGZAG,
+        _idct_basis,
+    )
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    h, w = arr.shape[:2]
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if gray:
+        comps = [(y, 1, 1)]
+    elif subsample:
+        he, we = h + h % 2, w + w % 2
+        cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+        crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+        cb2 = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        cr2 = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        comps = [(y, 2, 2), (cb2, 1, 1), (cr2, 1, 1)]
+    else:
+        comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    basis = _idct_basis()
+    planes = []
+    for plane, ch, cv in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        planes.append(p)
+
+    def fdct_quant(block):
+        f = basis.T @ (block - 128.0) @ basis
+        return np.round(f).astype(np.int64)
+
+    def dc_ac_symbols(coeffs, pred):
+        """-> (dc_sym, dc_bits), [(ac_sym, bits)...], new_pred"""
+        zz = [int(coeffs[rc]) for rc in _ZIGZAG]
+        diff = zz[0] - pred
+        sz = diff and int(abs(diff)).bit_length()
+        dcv = diff if diff >= 0 else diff + (1 << sz) - 1
+        acs = []
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                if run == 16:
+                    acs.append((0xF0, 0, 0))
+                    run = 0
+                continue
+            s = int(abs(zz[k])).bit_length()
+            v = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+            acs.append(((run << 4) | s, s, v))
+            run = 0
+        if last_nz < 63:
+            acs.append((0x00, 0, 0))
+        return (sz, dcv), acs, zz[0]
+
+    # pass 1: walk MCUs collecting symbols; pass 2 re-walks emitting bits
+    def walk():
+        preds = [0] * len(comps)
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n and n % restart_interval == 0:
+                    preds = [0] * len(comps)
+                    yield ("RST", (n // restart_interval - 1) % 8)
+                n += 1
+                for ci, (_, ch, cv) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = planes[ci][
+                                (my * cv + by) * 8 : (my * cv + by) * 8 + 8,
+                                (mx * ch + bx) * 8 : (mx * ch + bx) * 8 + 8,
+                            ]
+                            dc, acs, preds[ci] = dc_ac_symbols(
+                                fdct_quant(blk), preds[ci]
+                            )
+                            yield ("BLK", ci, dc, acs)
+
+    dc_syms, ac_syms = set(), set()
+    for ev in walk():
+        if ev[0] == "BLK":
+            dc_syms.add(ev[2][0])
+            ac_syms.update(s for s, _, _ in ev[3])
+
+    def canon(syms):
+        """All symbols at one length L with 2^L-1 >= k (no all-ones
+        code): counts[16] + ordered symbols; symbol -> (code, L)."""
+        ordered = sorted(syms)
+        L = 1
+        while (1 << L) - 1 < len(ordered):
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(ordered)
+        return counts, ordered, {s: (i, L) for i, s in enumerate(ordered)}
+
+    dc_counts, dc_order, dc_code = canon(dc_syms)
+    ac_counts, ac_order, ac_code = canon(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes([0] + [1] * 64)  # table 0, unit quantizers
+    out += b"\xff\xdb" + (2 + len(qzz)).to_bytes(2, "big") + qzz
+    nc = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    for klass, counts, order in ((0, dc_counts, dc_order), (1, ac_counts, ac_order)):
+        payload = bytes([(klass << 4) | 0]) + bytes(counts) + bytes(order)
+        out += b"\xff\xc4" + (2 + len(payload)).to_bytes(2, "big") + payload
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    acc, nbits, body = 0, 0, bytearray()
+
+    def put(v, n):
+        nonlocal acc, nbits
+        acc = (acc << n) | v
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)
+            acc &= (1 << nbits) - 1
+
+    def flush():
+        nonlocal acc, nbits
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    for ev in walk():
+        if ev[0] == "RST":
+            flush()
+            body.append(0xFF)
+            body.append(0xD0 + ev[1])
+            continue
+        _, ci, (sz, dcv), acs = ev
+        c, L = dc_code[sz]
+        put(c, L)
+        if sz:
+            put(dcv, sz)
+        for sym, s, v in acs:
+            c, L = ac_code[sym]
+            put(c, L)
+            if s:
+                put(v, s)
+    flush()
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_constant_color_exact(spark):
+    """Constant-color blocks have DC-only integer spectra, so unit-
+    quantizer JPEG round-trips EXACTLY — the 4:2:0 + restart-marker
+    JPEG yields features identical to the BMP of the same pixels."""
+    flat = [[(120, 64, 200)] * 16 for _ in range(16)]
+    jp = _jpeg_real(flat, subsample=True, restart_interval=1)
+    df = spark.createDataFrame(
+        [(1, jp), (2, _bmp(flat))], "media_id long, payload binary"
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_features(df, num_features=8, real_decoder=True).collect()
+    }
+    assert rows[1].features == rows[2].features
+
+
+def test_jpeg_gradient_within_rounding():
+    """A 23×17 RGB gradient (non-multiple-of-8 ⇒ edge padding + crop)
+    through 4:4:4 unit-quantizer JPEG reconstructs within the DCT
+    coefficient-rounding bound (±2)."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    grad = [
+        [(x * 10 % 256, y * 13 % 256, (x * 7 + y * 3) % 256) for x in range(23)]
+        for y in range(17)
+    ]
+    px = decode_jpeg_pixels(_jpeg_real(grad))
+    assert px is not None and px.shape == (17, 23, 3)
+    err = np.abs(px.astype(np.int64) - np.asarray(grad))
+    assert int(err.max()) <= 2
+
+
+def test_jpeg_grayscale_and_rejects():
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    flat = [[(77, 77, 77)] * 8 for _ in range(8)]
+    px = decode_jpeg_pixels(_jpeg_real(flat, gray=True))
+    assert px is not None and px.shape == (8, 8, 3)
+    # gray level = Y of (77,77,77) = 77 exactly, replicated to RGB
+    assert np.unique(px).tolist() == [77]
+    good = _jpeg_real(flat)
+    progressive = bytearray(good)
+    progressive[progressive.index(b"\xff\xc0")] = 0xFF  # keep marker byte
+    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2  # SOF2
+    assert decode_jpeg_pixels(bytes(progressive)) is None
+    assert decode_jpeg_pixels(good[:40]) is None  # truncated mid-segment
+    assert decode_jpeg_pixels(b"\xff\xd8junkjunk") is None
+    assert decode_jpeg_pixels(b"not a jpeg") is None
