@@ -9,10 +9,13 @@ tiered: 24-bit BMP, binary PPM, AND non-interlaced 8-bit PNG (stdlib
 decode FOR REAL — header parse + numpy pixel statistics — as does
 non-interlaced palette GIF (pure-Python LZW, :func:`decode_gif_pixels`)
 and baseline sequential JPEG (pure-Python huffman entropy decode +
-numpy dequantize/IDCT/upsample, :func:`decode_jpeg_pixels`).  The
-remaining modalities (audio, video) and non-baseline image variants
-(progressive JPEG, interlaced PNG/GIF) need codec libraries absent
-from this container, so they either fall back to a documented
+numpy dequantize/IDCT/upsample, :func:`decode_jpeg_pixels`).  Audio
+decodes for real from PCM WAV (:func:`decode_wav_samples` → time- and
+FFT-domain features) and video from RIFF AVI (MJPEG via the JPEG
+decoder, raw DIB via numpy; :func:`decode_avi_frames` with frame
+sampling).  Non-baseline variants (progressive JPEG, interlaced
+PNG/GIF, compressed audio/video codecs) need libraries absent from
+this container, so they either fall back to a documented
 deterministic sha256 stub (default) or raise ``NotImplementedError``
 (``real_decoder=True``) — never silent fake values on the real path.
 
@@ -975,3 +978,331 @@ def payload_stats_arrow(
         stats,
         f"{id_col} {id_type}, n_bytes LONG, entropy_bits DOUBLE, is_text BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (PCM WAV) — real sample decode + spectral features
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_samples(b: bytes):
+    """Decode a PCM RIFF/WAVE payload to ``(mono_float64, sample_rate)``
+    — robust chunk walk (fmt/data in any order, extra chunks skipped),
+    8-bit unsigned and 16-bit signed PCM (format tag 1), any channel
+    count mixed to mono by mean.  Pure stdlib+numpy; returns None for
+    compressed codecs (MP3/AAC/IEEE-float/ADPCM), truncated chunks, or
+    non-RIFF payloads — those stay on the stub/raise tier, the same
+    contract as the image decoders.  Samples are scaled to [-1, 1]."""
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            if size < 16:
+                return None
+            fmt = (
+                int.from_bytes(body[0:2], "little"),  # audio format tag
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits per sample
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    tag, channels, rate, bits = fmt
+    if tag != 1 or channels < 1 or rate <= 0:
+        return None  # compressed / float codecs: stub tier
+    if bits == 16:
+        n = len(data) // (2 * channels) * channels
+        x = np.frombuffer(data, "<i2", count=n).astype(np.float64) / 32768.0
+    elif bits == 8:
+        n = len(data) // channels * channels
+        x = (np.frombuffer(data, np.uint8, count=n).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if n == 0:
+        return None
+    return x.reshape(-1, channels).mean(axis=1), rate
+
+
+def audio_features(samples, rate: int) -> list[float]:
+    """Deterministic real features from mono samples: duration (s),
+    RMS, peak, zero-crossing rate (per sample), spectral centroid and
+    85% rolloff (Hz, from the numpy rFFT magnitude spectrum — a real
+    frequency-domain feature, not a byte statistic)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    duration = n / rate
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = mag.sum()
+    if total > 0:
+        centroid = float((freqs * mag).sum() / total)
+        cum = np.cumsum(mag)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    else:
+        centroid = rolloff = 0.0
+    return [duration, rms, peak, zcr, centroid, rolloff]
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zcr", DoubleType()),
+        StructField("spectral_centroid_hz", DoubleType()),
+        StructField("spectral_rolloff_hz", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    partitions: int | None = None,
+    real_decoder: bool = False,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction: PCM WAV payloads are
+    REALLY decoded (:func:`decode_wav_samples`) into time- and
+    frequency-domain statistics (:func:`audio_features`); compressed
+    audio raises under ``real_decoder=True`` or falls back to the
+    sha256 stub — identical tiering to :func:`extract_features`."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURE_SCHEMA.fieldNames()}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = hashlib.sha256(bytes(p)).hexdigest()
+                dec = decode_wav_samples(p)
+                if dec is not None:
+                    feats = audio_features(*dec)
+                elif real_decoder:
+                    raise NotImplementedError(
+                        "payload is not PCM WAV; compressed audio needs "
+                        "librosa/ffmpeg — not in this container"
+                    )
+                else:
+                    feats = [
+                        int(d[i * 8 : i * 8 + 8], 16) / 0xFFFFFFFF
+                        for i in range(6)
+                    ]
+                for k, v in zip(
+                    AUDIO_FEATURE_SCHEMA.fieldNames(),
+                    [int(mid), len(bytes(p)), d, *feats],
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    src = df.select("media_id", "payload")
+    if partitions:
+        src = src.repartition(partitions, F.sha2(F.col("payload"), 256))
+    return src.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video (RIFF AVI) — container walk, frame sampling, per-frame decode
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, payload_span) over a RIFF
+    range; LIST chunks yield their type and are recursed by callers."""
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body_start = pos + 8
+        if body_start + size > end:
+            return
+        if cid in (b"LIST", b"RIFF"):
+            yield cid, b[body_start : body_start + 4], (body_start + 4, body_start + size)
+        else:
+            yield cid, None, (body_start, body_start + size)
+        pos = body_start + size + (size & 1)
+
+
+def decode_avi_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = None):
+    """Walk a RIFF AVI container and decode every ``frame_stride``-th
+    video frame to an (h, w, 3) RGB array — the multimodal
+    "frame-sample" operator.  Two stream formats decode for real:
+
+    - ``..dc`` (compressed) frames holding baseline JPEG — decoded by
+      :func:`decode_jpeg_pixels` (the pure-Python decoder above);
+    - ``..db`` (uncompressed DIB) frames — bottom-up 24-bit BGR rows,
+      dimensions from the ``strf`` BITMAPINFOHEADER.
+
+    Returns a list of frame arrays, or None if the payload is not an
+    AVI or no frame decodes (unknown codecs stay on the stub tier).
+    The walk is a single pass; sampling SKIPS non-selected frames
+    without decoding them — at scale that is the point of frame
+    sampling: decode cost is frames/stride, not frames."""
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    dib_w = dib_h = None
+
+    def walk(pos, end):
+        nonlocal dib_w, dib_h
+        for cid, ltype, (s, e) in _riff_chunks(b, pos, end):
+            if ltype is not None:
+                yield from walk(s, e)
+            elif cid == b"strf" and e - s >= 40:
+                comp = int.from_bytes(b[s + 16 : s + 20], "little")
+                if comp == 0:  # BI_RGB
+                    dib_w = int.from_bytes(b[s + 4 : s + 8], "little", signed=True)
+                    dib_h = int.from_bytes(b[s + 8 : s + 12], "little", signed=True)
+            elif cid[2:4] in (b"dc", b"db") and e > s:
+                yield cid, s, e
+
+    frames = []
+    idx = 0
+    for cid, s, e in walk(12, len(b)):
+        take = idx % frame_stride == 0
+        idx += 1
+        if not take:
+            continue
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        chunk = b[s:e]
+        if cid[2:4] == b"dc" and chunk[:2] == b"\xff\xd8":
+            px = decode_jpeg_pixels(chunk)
+            if px is not None:
+                frames.append(px)
+        elif cid[2:4] == b"db" and dib_w and dib_h and dib_w > 0:
+            h = abs(dib_h)
+            stride = (dib_w * 3 + 3) // 4 * 4
+            if len(chunk) >= stride * h:
+                rows = np.frombuffer(chunk, np.uint8, stride * h).reshape(
+                    h, stride
+                )[:, : dib_w * 3].reshape(h, dib_w, 3)
+                if dib_h > 0:  # bottom-up, BGR
+                    rows = rows[::-1]
+                frames.append(rows[:, :, ::-1].copy())
+    return frames or None
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_frames_sampled", LongType()),
+        StructField("frame_features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_video_features(
+    df: DataFrame,
+    frame_stride: int = 1,
+    num_features: int = 8,
+    partitions: int | None = None,
+    real_decoder: bool = False,
+) -> DataFrame:
+    """Arrow-batched video feature extraction: sample every
+    ``frame_stride``-th frame from AVI payloads
+    (:func:`decode_avi_frames` — MJPEG via the pure-Python JPEG
+    decoder, raw DIB via numpy), compute per-frame pixel features and
+    emit their elementwise MEAN as the clip descriptor plus the
+    sampled-frame count.  Non-AVI / unknown-codec payloads raise
+    under ``real_decoder=True`` or fall back to the sha256 stub."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, counts, feats = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_avi_frames(
+                    p, frame_stride=frame_stride
+                )
+                if frames is not None:
+                    per = np.asarray(
+                        [pixel_features(fr, num_features) for fr in frames]
+                    )
+                    counts.append(len(frames))
+                    feats.append([float(v) for v in per.mean(axis=0)])
+                elif real_decoder:
+                    raise NotImplementedError(
+                        "payload is not a decodable AVI (MJPEG/DIB); other "
+                        "containers need ffmpeg — not in this container"
+                    )
+                else:
+                    d = hashlib.sha256(bytes(p)).hexdigest()
+                    counts.append(0)
+                    feats.append(
+                        [
+                            int(d[i * 8 : i * 8 + 8], 16) / 0xFFFFFFFF / 256.0
+                            for i in range(num_features)
+                        ]
+                    )
+                ids.append(int(mid))
+                sizes.append(len(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": sizes,
+                    "n_frames_sampled": counts,
+                    "frame_features": feats,
+                }
+            )
+
+    src = df.select("media_id", "payload")
+    if partitions:
+        src = src.repartition(partitions, F.sha2(F.col("payload"), 256))
+    return src.mapInPandas(fn, VIDEO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize — numpy nearest / bilinear, the standard preprocessing op
+# ---------------------------------------------------------------------------
+
+
+def resize_pixels(pixels, out_h: int, out_w: int, method: str = "bilinear"):
+    """Resize an (h, w, 3) uint8 array to (out_h, out_w, 3) with
+    nearest-neighbor or bilinear interpolation — pure numpy (gather /
+    weighted gathers), the multimodal "resize" operator.  Uses the
+    half-pixel-center convention (align_corners=False), matching the
+    common ML preprocessing default."""
+    import numpy as np
+
+    src = np.asarray(pixels)
+    h, w = src.shape[:2]
+    if method == "nearest":
+        ys = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), 0, h - 1)
+        xs = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), 0, w - 1)
+        return src[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method: {method}")
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    p = src.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -198,3 +198,138 @@ def media_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.mapInPandas(_text_to_ppm, "media_id long, payload binary")
     return payload_stats_arrow(media).orderBy("media_id")
+
+
+def _text_to_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Each doc's text bytes ARE the waveform: tiled to 2000 samples
+    of 8-bit unsigned mono PCM at 8 kHz inside a canonical RIFF/WAVE
+    container — a real, spec-conformant audio file per doc."""
+    n_samples = 2000
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            raw = (t or " ").encode("utf-8", "replace")
+            data = (raw * (n_samples // len(raw) + 1))[:n_samples]
+            fmt = (
+                b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little")      # PCM
+                + (1).to_bytes(2, "little")      # mono
+                + (8000).to_bytes(4, "little")   # sample rate
+                + (8000).to_bytes(4, "little")   # byte rate
+                + (1).to_bytes(2, "little")      # block align
+                + (8).to_bytes(2, "little")      # bits per sample
+            )
+            data_chunk = b"data" + len(data).to_bytes(4, "little") + data
+            body = b"WAVE" + fmt + data_chunk
+            payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("audio_features_real")
+def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio end-to-end: synthesize real PCM WAV payloads from
+    document text (the bytes are the waveform), decode samples with
+    the REAL stdlib decoder (real_decoder=True — any fallback would
+    raise) and emit time- and FFT-domain features per clip
+    (operators.multimodal.audio_features).  Rows-only: DuckDB cannot
+    parse WAV or run FFTs; the decode math is pinned by
+    tests/test_multimodal.py's analytic-sine tests.
+
+    Scale shape: synthesis and decode are both Arrow-batched
+    mapInPandas over the corpus — frequency-domain work never leaves
+    the Python worker, and the output is one atomic row per clip."""
+    from ..operators.multimodal import extract_audio_features
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    media = docs.mapInPandas(_text_to_wav, "media_id long, payload binary")
+    feats = extract_audio_features(media, real_decoder=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("spectral_centroid_hz", 4).alias("spectral_centroid_hz"),
+        F.round("spectral_rolloff_hz", 4).alias("spectral_rolloff_hz"),
+    ).orderBy("media_id")
+
+
+def _text_to_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Each doc becomes a 4-frame 8×8 uncompressed-DIB RIFF AVI; frame
+    k tiles the text bytes starting at offset 48*k, so consecutive
+    frames differ deterministically."""
+    w = h = 8
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strf = bytearray(40)
+    strf[0:4] = (40).to_bytes(4, "little")
+    strf[4:8] = w.to_bytes(4, "little")
+    strf[8:12] = h.to_bytes(4, "little")
+    strf[12:14] = (1).to_bytes(2, "little")
+    strf[14:16] = (24).to_bytes(2, "little")  # BI_RGB stays 0
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", bytes(56))
+        + list_chunk(
+            b"strl", chunk(b"strh", bytes(56)) + chunk(b"strf", bytes(strf))
+        ),
+    )
+    frame_bytes = w * h * 3  # stride == w*3, already a multiple of 4
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            raw = (t or " ").encode("utf-8", "replace")
+            tiled = (raw * ((4 * 48 + frame_bytes) // len(raw) + 1))
+            frames = [
+                chunk(b"00db", tiled[48 * k : 48 * k + frame_bytes])
+                for k in range(4)
+            ]
+            body = b"AVI " + hdrl + list_chunk(b"movi", b"".join(frames))
+            payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("video_frames_real")
+def video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video end-to-end: synthesize real 4-frame uncompressed-DIB
+    AVI containers from document text, FRAME-SAMPLE at stride 2 (the
+    walk skips unsampled frames without decoding — the cost model
+    frame sampling exists for), decode sampled frames
+    (operators.multimodal.decode_avi_frames) and emit the clip's mean
+    per-frame feature vector.  MJPEG-in-AVI rides the same walk with
+    the pure-Python JPEG decoder (pinned by tests).  Rows-only:
+    DuckDB cannot walk RIFF containers; the decode is pinned by
+    tests/test_multimodal.py's DIB/MJPEG frame tests.
+
+    Scale shape: Arrow-batched mapInPandas end-to-end; features
+    exploded to atomic rows for the driver canon."""
+    from ..operators.multimodal import extract_video_features
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    media = docs.mapInPandas(_text_to_avi, "media_id long, payload binary")
+    feats = extract_video_features(media, frame_stride=2, real_decoder=True)
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            "n_frames_sampled",
+            F.posexplode("frame_features").alias("feature_idx", "feature_value"),
+        )
+        .withColumn("feature_value", F.round("feature_value", 6))
+        .orderBy("media_id", "feature_idx")
+    )

@@ -624,3 +624,195 @@ def test_jpeg_grayscale_and_rejects():
     assert decode_jpeg_pixels(good[:40]) is None  # truncated mid-segment
     assert decode_jpeg_pixels(b"\xff\xd8junkjunk") is None
     assert decode_jpeg_pixels(b"not a jpeg") is None
+
+
+def _wav(rate=8000, freq=440.0, seconds=0.25, bits=16, channels=1, amp=0.5):
+    """Canonical PCM WAV via the stdlib wave writer — an independent
+    encoder for the decoder to face."""
+    import io
+    import math
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    frames = bytearray()
+    for i in range(n):
+        v = amp * math.sin(2 * math.pi * freq * i / rate)
+        for _ in range(channels):
+            if bits == 16:
+                frames += int(v * 32767).to_bytes(2, "little", signed=True)
+            else:
+                frames += bytes([int(v * 127) + 128])
+    w.writeframes(bytes(frames))
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_decode_sine_features():
+    """A 440 Hz sine at 8 kHz: analytic RMS = amp/√2, ZCR = 2f/rate,
+    spectral centroid ≈ 440 Hz — real FFT features, not byte stats."""
+    import math
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_samples,
+    )
+
+    dec = decode_wav_samples(_wav())
+    assert dec is not None
+    samples, rate = dec
+    assert rate == 8000 and len(samples) == 2000
+    dur, rms, peak, zcr, centroid, rolloff = audio_features(samples, rate)
+    assert abs(dur - 0.25) < 1e-9
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(peak - 0.5) < 0.01
+    assert abs(zcr - 2 * 440 / 8000) < 0.01
+    assert abs(centroid - 440.0) < 40.0  # spectral leakage spreads a little
+    assert 400.0 <= rolloff <= 500.0
+
+
+def test_wav_decode_8bit_stereo_and_rejects():
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    dec = decode_wav_samples(_wav(bits=8, channels=2, seconds=0.1))
+    assert dec is not None
+    samples, rate = dec
+    assert len(samples) == 800  # stereo mixed to mono
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None  # no chunks
+    assert decode_wav_samples(b"not audio") is None
+    truncated = _wav()[:60]
+    assert decode_wav_samples(truncated) is None
+
+
+def test_extract_audio_features_spark(spark):
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _wav(freq=440.0)), (2, _wav(freq=880.0)), (3, b"MP3junkdata")],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_audio_features(df).collect()}
+    assert abs(rows[1].spectral_centroid_hz - 440) < 40
+    assert abs(rows[2].spectral_centroid_hz - 880) < 60
+    assert rows[3].duration_s <= 1.0  # sha256 stub tier, in [0,1]
+    with pytest.raises(Exception, match="NotImplementedError|not PCM WAV"):
+        extract_audio_features(df, real_decoder=True).collect()
+
+
+def _avi(frames, fourcc=b"00dc", w=None, h=None):
+    """Minimal RIFF AVI: hdrl with a strf BITMAPINFOHEADER (for DIB
+    dims), then a movi LIST of frame chunks."""
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def list_chunk(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strf = bytearray(40)
+    strf[0:4] = (40).to_bytes(4, "little")
+    if w is not None:
+        strf[4:8] = w.to_bytes(4, "little")
+        strf[8:12] = h.to_bytes(4, "little")
+        strf[12:14] = (1).to_bytes(2, "little")
+        strf[14:16] = (24).to_bytes(2, "little")  # biBitCount
+        # biCompression stays 0 = BI_RGB
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", bytes(56))
+        + list_chunk(b"strl", chunk(b"strh", bytes(56)) + chunk(b"strf", bytes(strf))),
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(fourcc, f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_mjpeg_frame_sampling():
+    """An MJPEG AVI of 5 JPEG frames, sampled at stride 2 → frames
+    0, 2, 4 decoded by the pure-Python JPEG decoder."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_jpeg_pixels,
+    )
+
+    jpegs = [
+        _jpeg_real([[(40 * k, 10 + 20 * k, 255 - 40 * k)] * 8 for _ in range(8)])
+        for k in range(5)
+    ]
+    avi = _avi(jpegs)
+    frames = decode_avi_frames(avi, frame_stride=2)
+    assert frames is not None and len(frames) == 3
+    for got, k in zip(frames, (0, 2, 4)):
+        assert np.array_equal(got, decode_jpeg_pixels(jpegs[k]))
+    assert decode_avi_frames(b"RIFFxxxxWAVE") is None
+    assert decode_avi_frames(b"junk") is None
+
+
+def test_avi_dib_frames_and_spark_video_features(spark):
+    """Raw-DIB AVI frames (bottom-up BGR, strf dims) decode exactly;
+    the Spark extractor emits mean per-frame features + counts."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        extract_video_features,
+        pixel_features,
+    )
+
+    px = np.asarray(_PIXELS5, dtype=np.uint8)  # 5 rows x 4 cols
+    stride = (4 * 3 + 3) // 4 * 4
+    dib = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])
+        line += b"\x00" * (stride - len(line))
+        dib += line
+    avi = _avi([bytes(dib)] * 4, fourcc=b"00db", w=4, h=5)
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"not a video")], "media_id long, payload binary"
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_video_features(df, frame_stride=2).collect()
+    }
+    assert rows[1].n_frames_sampled == 2
+    expect = pixel_features(px, 8)
+    assert [round(v, 9) for v in rows[1].frame_features] == [
+        round(v, 9) for v in expect
+    ]
+    assert rows[2].n_frames_sampled == 0  # stub tier
+
+
+def test_resize_pixels_modes():
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        resize_pixels,
+    )
+
+    src = np.asarray(_PIXELS5, dtype=np.uint8)
+    up = resize_pixels(src, 10, 8, method="nearest")
+    assert up.shape == (10, 8, 3)
+    # 2x nearest upsample replicates each pixel into a 2x2 block
+    assert np.array_equal(up[::2, ::2], src) and np.array_equal(up[1::2, 1::2], src)
+    down = resize_pixels(up, 5, 4, method="bilinear")
+    assert down.shape == (5, 4, 3)
+    # downsampling the pure upsample recovers the source exactly
+    # (each output pixel's bilinear support is one replicated block)
+    assert np.array_equal(down, src)
+    flat = np.full((3, 3, 3), 77, np.uint8)
+    big = resize_pixels(flat, 7, 9, method="bilinear")
+    assert np.unique(big).tolist() == [77]  # interpolation preserves constants
+    with pytest.raises(ValueError):
+        resize_pixels(src, 2, 2, method="bicubic")
