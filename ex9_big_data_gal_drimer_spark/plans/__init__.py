@@ -40,6 +40,7 @@ from . import queries_streaming_state  # noqa: F401,E402
 from . import queries_dedup_oracle  # noqa: F401,E402
 from . import queries_ann_oracle  # noqa: F401,E402
 from . import queries_analytics5  # noqa: F401,E402
+from . import queries_platform  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -54,6 +55,16 @@ from . import queries_analytics5  # noqa: F401,E402
 # position, so this only changes which rows the driver re-verifies.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
+    # ------------------------------------------------------------------
+    # ROUND-7 ROTATION (queries added AFTER the round-6 window below
+    # was frozen — seat these FIRST next round, then continue the
+    # rolling re-verification with the remaining r03-vintage rows):
+    #   zorder_layout_audit, snapshot_diff_cdc, event_sequence_cohorts,
+    #   listagg_top_parts_by_brand   (queries_platform.py, 4 oracles)
+    # Changed-plan re-verifies also due: basket_lift_top_pairs,
+    # part_cooccurrence_top20 (shuffle-halving rewrites, oracle-green
+    # locally at sf0.01 this round).  audio_features_real /
+    # video_frames_real are rows-only — never seated per policy.
     # ------------------------------------------------------------------
     # ROUND-6 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
     # oracle-bearing queries are seated.  As of round 5 every oracle-
