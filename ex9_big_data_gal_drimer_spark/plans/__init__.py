@@ -60,7 +60,8 @@ _DRIVER_PRIORITY: list[str] = [
     # was frozen — seat these FIRST next round, then continue the
     # rolling re-verification with the remaining r03-vintage rows):
     #   zorder_layout_audit, snapshot_diff_cdc, event_sequence_cohorts,
-    #   listagg_top_parts_by_brand   (queries_platform.py, 4 oracles)
+    #   listagg_top_parts_by_brand, multiformat_roundtrip_audit
+    #   (queries_platform.py, 5 oracles)
     # Changed-plan re-verifies also due: basket_lift_top_pairs,
     # part_cooccurrence_top20 (shuffle-halving rewrites, oracle-green
     # locally at sf0.01 this round).  audio_features_real /

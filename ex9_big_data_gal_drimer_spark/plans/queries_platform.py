@@ -113,7 +113,12 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two hash aggregations over the fact (one per layout) plus
     a broadcast cross join of ~O(100) file-stat rows × 20 probes —
     no window over raw rows, no sort; at 100 TB the same plan audits
-    a real table's add-file stats instead of synthesizing them."""
+    a real table's add-file stats instead of synthesizing them.
+    Complements the actual Z-order WRITE path
+    (sources/layout.py::ingest_zordered + `zorder_layout_skip`, which
+    pin parquet row-group pruning on the clustered layout): this
+    audit quantifies the files-hit ratio the two layouts imply,
+    engine-exactly, without writing files."""
     o = table(spark, sf_dir, "orders")
     d = F.unix_date(F.col("o_orderdate").cast("date"))
     tagged = o.select(
@@ -368,3 +373,71 @@ def listagg_top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "multiformat_roundtrip_audit",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders
+    )
+    SELECT fmt, n_rows, sum_cents, n_statuses, min_key, max_key
+    FROM base, (VALUES ('jsonl'), ('orc'), ('xml')) AS f(fmt)
+    ORDER BY fmt
+    """,
+)
+def multiformat_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format generalization audit (SURVEY.md §2.1): the
+    SAME orders projection written once to JSON-lines, ORC, and XML
+    (sources/formats.py::ingest_multiformat — price as exact BIGINT
+    cents so no format's float-text convention can smudge it), each
+    read back through its own source (explicit schema for the text
+    formats, footer schema for ORC) and aggregated.  Every format's
+    row must equal the parquet-direct oracle row — a lossy writer,
+    reader, or schema mapping in ANY of the three paths flips the
+    value hash.
+
+    Scale: each leg is one scan + partial agg; JSONL/XML re-parse
+    text per read (the documented reason the first pipeline stage
+    converts drops to parquet/ORC), ORC gets the vectorized
+    columnar reader.  The union is three 1-row legs."""
+    from ..sources.formats import ingest_multiformat, read_jsonl, read_orc, read_xml
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    paths = ingest_multiformat(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("price_cents", LongType()),
+        ]
+    )
+    legs = {
+        "jsonl": read_jsonl(spark, paths["jsonl"], schema),
+        "orc": read_orc(spark, paths["orc"]),
+        "xml": read_xml(spark, paths["xml"], schema),
+    }
+    audits = [
+        df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").alias("sum_cents"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        ).select(
+            "fmt", "n_rows", "sum_cents", "n_statuses", "min_key", "max_key"
+        )
+        for fmt, df in legs.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), audits).orderBy("fmt")

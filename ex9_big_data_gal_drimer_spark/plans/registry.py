@@ -48,6 +48,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "state_operator_inventory",
     "merge_sink_upsert_totals",
     "tpch_q21_bucketed",
+    "multiformat_roundtrip_audit",
 }
 
 

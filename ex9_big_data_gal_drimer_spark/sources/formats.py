@@ -87,3 +87,38 @@ def read_xml(
         .format("xml")
         .load(path)
     )
+
+
+def ingest_multiformat(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Idempotently materialize the same orders projection as JSONL,
+    ORC, and XML under tmp (path_tag-keyed like the other ingests) and
+    return {format: path}.  The projection carries the price as exact
+    BIGINT cents so every format round-trips the measure bit-exactly
+    regardless of its float-text conventions."""
+    import os
+    import tempfile
+
+    from .layout import load_table, path_tag
+
+    sf_tag = path_tag(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"ex9_formats_{sf_tag}")
+    paths = {f: os.path.join(root, f) for f in ("jsonl", "orc", "xml")}
+    if all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()
+    ):
+        return paths
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F_round_cents("o_totalprice").alias("price_cents"),
+    )
+    write_jsonl(df, paths["jsonl"])
+    write_orc(df, paths["orc"])
+    write_xml(df, paths["xml"])
+    return paths
+
+
+def F_round_cents(col: str):
+    from pyspark.sql import functions as F
+
+    return F.round(F.col(col) * 100).cast("long")
