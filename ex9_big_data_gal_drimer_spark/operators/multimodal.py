@@ -331,8 +331,8 @@ def decode_png_pixels(b: bytes):
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
-            if length < 13:
-                return None
+            if length < 13 or len(data) < 13:
+                return None  # truncated IHDR: stub tier, never a crash
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type = data[8], data[9]
@@ -625,6 +625,8 @@ def decode_jpeg_pixels(b: bytes):
             return None
         seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
         seg = b[pos + 4 : pos + 2 + seglen]
+        if seglen < 2 or len(seg) < seglen - 2:
+            return None  # truncated segment: stub tier, never a crash
         if marker == 0xDB:  # DQT: one or more 64-entry tables
             i = 0
             while i < len(seg):
@@ -656,8 +658,8 @@ def decode_jpeg_pixels(b: bytes):
                 htables[(tc, th)] = table
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline huffman
-            if seg[0] != 8:
-                return None  # 12-bit precision
+            if len(seg) < 6 or seg[0] != 8:
+                return None  # truncated frame header / 12-bit precision
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -674,6 +676,8 @@ def decode_jpeg_pixels(b: bytes):
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS: component->table map, then entropy data
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                return None  # truncated scan header
             ns = seg[0]
             scan_tables = {}
             for ci in range(ns):
@@ -722,7 +726,7 @@ def decode_jpeg_pixels(b: bytes):
                     p += 1
                 if p + 1 >= len(d):
                     return None
-                bits = _JpegBits(d[p + 2 :])
+                bits = _JpegBits(b"")  # reuse the buffer, no tail copy
                 bits.data = d
                 bits.pos = p + 2
                 preds = [0] * len(comps)

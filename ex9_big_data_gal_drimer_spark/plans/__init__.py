@@ -134,8 +134,9 @@ _DRIVER_PRIORITY: list[str] = [
 # 50 priority entries fill the driver's 50-slot window exactly
 # (asserted below).  Every other query rides on banked green rows
 # (CORRECTNESS_r01-r05) plus the local differential suite, which
-# covers all queries regardless of position.  Bookkeeping at the start
-# of round 6: registry 199 queries / 175 oracles; the union of
+# covers all queries regardless of position.  Bookkeeping at the
+# round-6 window freeze: registry 199 queries / 175 oracles (206/180
+# by end of round 6 — see the ROUND-7 ROTATION note); the union of
 # r01-r05 banks covers all 173 pre-round-6 oracles (vintages after
 # CORRECTNESS_r05: 37×r02, 36×r03, 50×r04, 50×r05); the 2 new + 3
 # changed entries seated first are the only rows without a current

@@ -43,7 +43,7 @@ from .registry import register
     )
     SELECT path, COUNT(*) AS n_users
     FROM p GROUP BY path
-    ORDER BY n_users DESC, path
+    ORDER BY n_users DESC, path NULLS LAST
     LIMIT 10
     """,
 )
@@ -79,7 +79,10 @@ def user_path_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy(F.desc("n_users"), "path")
+        # asc_nulls_last pins the tie-break for the NULL-path group
+        # (a NULL event_type propagates through F.concat) to DuckDB's
+        # default NULLS LAST — Spark's ASC default is NULLS FIRST.
+        .orderBy(F.desc("n_users"), F.asc_nulls_last("path"))
         .limit(10)
     )
 

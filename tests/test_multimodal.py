@@ -816,3 +816,20 @@ def test_resize_pixels_modes():
     assert np.unique(big).tolist() == [77]  # interpolation preserves constants
     with pytest.raises(ValueError):
         resize_pixels(src, 2, 2, method="bicubic")
+
+
+def test_truncated_headers_fall_to_stub_not_crash():
+    """Round-6 review regressions: truncated segment/chunk headers in
+    JPEG and PNG payloads must return None (stub tier) — an uncaught
+    IndexError would fail the whole mapInPandas task on one malformed
+    payload in a mixed corpus."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_png_pixels,
+    )
+
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xc0\x00\x02") is None  # empty SOF
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xda\x00\x04\x03\x00") is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xe0\x00\xff") is None  # short APP0
+    trunc = b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + b"\x00" * 5
+    assert decode_png_pixels(trunc) is None
