@@ -16,4 +16,7 @@ python tools/preflight.py /root/testdata/sf0.01 999 CORRECTNESS_LOCAL_${R}.json
 echo "=== scaling benches ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_001.json python bench.py > /tmp/scaling_001_${R}.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_01.json python bench.py > /tmp/scaling_01_${R}.json
+if [ -f data/sf1/lineitem.parquet ] || python tools/make_sf1.py; then
+  SPARK_GRAFT_SF_DIR=data/sf1 SPARK_GRAFT_BENCH_OUT=SCALING_sf1.json python bench.py > /tmp/scaling_1_${R}.json
+fi
 echo "=== DONE — now update BASELINE.md tables, README counts, PLANS.md shuffle headline ==="
