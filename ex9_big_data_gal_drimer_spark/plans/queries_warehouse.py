@@ -251,8 +251,11 @@ def part_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence mining (market-basket): part pairs appearing in
     the same order, top 20 by support.  Baskets are built with ONE
     ``collect_list`` aggregation keyed on l_orderkey (the sole wide
-    exchange — the old keyed self-join shipped the stream through two
-    exchanges plus a sort-merge, measured 2× slower at sf1); pair
+    exchange — the alternative keyed self-join ships the stream
+    through two exchanges plus a sort-merge join; controlled A/B at
+    sf1, warm median of 3: basket 4.35 s vs join 4.83 s, and one
+    exchange vs two is the posture that matters at cluster scale);
+    pair
     generation is two chained map-side explodes over each basket
     array, quadratic only WITHIN an order (baskets are small by
     construction) and multiplicity-preserving (list×list, exactly the
