@@ -40,6 +40,7 @@ from . import queries_streaming_state  # noqa: F401,E402
 from . import queries_dedup_oracle  # noqa: F401,E402
 from . import queries_ann_oracle  # noqa: F401,E402
 from . import queries_analytics5  # noqa: F401,E402
+from . import queries_platform2  # noqa: F401,E402
 from . import queries_platform  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
@@ -61,7 +62,10 @@ _DRIVER_PRIORITY: list[str] = [
     # rolling re-verification with the remaining r03-vintage rows):
     #   zorder_layout_audit, snapshot_diff_cdc, event_sequence_cohorts,
     #   listagg_top_parts_by_brand, multiformat_roundtrip_audit
-    #   (queries_platform.py, 5 oracles)
+    #   (queries_platform.py, 5 oracles);
+    #   k_anonymity_audit, bloom_filter_fp_audit,
+    #   daily_revenue_autocorr, markov_next_event_entropy
+    #   (queries_platform2.py, 4 oracles)
     # Changed-plan re-verifies also due: basket_lift_top_pairs,
     # part_cooccurrence_top20 (shuffle-halving rewrites, oracle-green
     # locally at sf0.01 this round).  audio_features_real /
