@@ -65,7 +65,9 @@ _DRIVER_PRIORITY: list[str] = [
     #   (queries_platform.py, 5 oracles);
     #   k_anonymity_audit, bloom_filter_fp_audit,
     #   daily_revenue_autocorr, markov_next_event_entropy
-    #   (queries_platform2.py, 4 oracles)
+    #   (queries_platform2.py, 4 oracles);
+    #   edit_distance_verify_lsh (queries_dedup_oracle.py — the
+    #   registered scale path for the levenshtein verify tier)
     # Changed-plan re-verifies also due: basket_lift_top_pairs,
     # part_cooccurrence_top20 (shuffle-halving rewrites, oracle-green
     # locally at sf0.01 this round).  audio_features_real /
@@ -139,7 +141,7 @@ _DRIVER_PRIORITY: list[str] = [
 # (asserted below).  Every other query rides on banked green rows
 # (CORRECTNESS_r01-r05) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-6 window freeze: registry 199 queries / 175 oracles (206/180
+# round-6 window freeze: registry 199 queries / 175 oracles (211/185
 # by end of round 6 — see the ROUND-7 ROTATION note); the union of
 # r01-r05 banks covers all 173 pre-round-6 oracles (vintages after
 # CORRECTNESS_r05: 37×r02, 36×r03, 50×r04, 50×r05); the 2 new + 3
