@@ -19,4 +19,6 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_01.js
 if [ -f data/sf1/lineitem.parquet ] || python tools/make_sf1.py; then
   SPARK_GRAFT_SF_DIR=data/sf1 SPARK_GRAFT_BENCH_OUT=SCALING_sf1.json python bench.py > /tmp/scaling_1_${R}.json
 fi
+echo "=== summary + consistency gate ==="
+python tools/summarize_artifacts.py ${R}
 echo "=== DONE — now update BASELINE.md tables, README counts, PLANS.md shuffle headline ==="
