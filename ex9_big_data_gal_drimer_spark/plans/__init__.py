@@ -149,11 +149,36 @@ _DRIVER_PRIORITY: list[str] = [
 # bank.  After CORRECTNESS_r06 banks this window, no oracle row is
 # older than r03.
 #
-# ROUND-7 ROTATION: seat (1) any oracle-bearing query added/changed
-# after this window froze, then (2) the remaining 28 r03-vintage rows
-# (dedup_connected_components, dedup_embedding_cosine,
-# doc_quality_scores, doc_repetition_quality, ... alphabetical) and
-# the oldest r04 rows with the remaining slots.
+# ROUND-7 ROTATION — the 50-name window is precomputed below from the
+# r01–r06 banks (vintages at round-6 close: 37×r02 re-banking via
+# CORRECTNESS_r06, 36→28 r03, 50 r04, 50 r05).  At round-7 start:
+# prepend any oracle query added/changed in round 7 itself, trim the
+# same number of names off the r04 tail, and replace _DRIVER_PRIORITY
+# with the result.
+#   (a) never-banked round-6 tail (10):
+#     zorder_layout_audit, snapshot_diff_cdc, event_sequence_cohorts,
+#     listagg_top_parts_by_brand, multiformat_roundtrip_audit,
+#     k_anonymity_audit, bloom_filter_fp_audit, daily_revenue_autocorr,
+#     markov_next_event_entropy, edit_distance_verify_lsh
+#   (b) changed-plan re-verifies (2):
+#     basket_lift_top_pairs, part_cooccurrence_top20
+#   (c) r03-vintage remaining (28):
+#     decontaminate_against_eval, dedup_connected_components,
+#     dedup_embedding_cosine, doc_quality_scores,
+#     doc_repetition_quality, events_enriched_by_nation,
+#     events_ohlc_hourly, events_rollup_cascade, from_json_typed,
+#     funnel_view_click_purchase, hotels_q1, hotels_q2, hotels_q3,
+#     hotels_q4, hotels_q5, hotels_q6, knn_vectorized_cosine,
+#     lineitem_price_stats, monthly_revenue_momentum, pack_sequences,
+#     partitioned_scan_pruning, pii_redaction_audit,
+#     range_join_price_bands, resample_user_hourly,
+#     rolling_revenue_frames, split_leakage_check, tfidf_top_terms,
+#     variant_json_events
+#   (d) oldest r04-vintage, alphabetical (10):
+#     array_agg_segments, bitmap_distinct_rollup, cdc_merge_customers,
+#     chi2_status_priority, customer_balance_deciles,
+#     dedup_keep_best_doc, doc_bigram_logprob, doc_type_token_ratio,
+#     doc_zipf_slope, dq_contract_orders
 
 
 def _reorder_for_driver() -> None:
