@@ -147,7 +147,11 @@ def _bloom_oracle_leg(m: int) -> str:
     WITH members AS (
         SELECT DISTINCT o_custkey AS c_custkey FROM orders
     ), probes AS (
-        SELECT range AS c_custkey FROM range(10000000, 10002000)
+        -- offset from the MEASURED max member key (round-6 ADVICE):
+        -- a fixed literal range is only non-member at small SFs
+        SELECT (SELECT MAX(c_custkey) FROM members) + 1 + range
+                   AS c_custkey
+        FROM range(0, 2000)
     ), legs AS (
         {_bloom_oracle_leg(4096)}
         UNION ALL
@@ -165,9 +169,9 @@ def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter sizing audit: simulate the Bloom filter a join
     runtime filter would build over the orders-side custkeys (k=2 md5
     hash functions, m in (4096, 65536) bits), then probe it with
-    2000 KNOWN non-member keys (a fixed range offset far above any
-    custkey at the tested scales, so every probe hit is a false
-    positive by construction) and measure the realized
+    2000 KNOWN non-member keys (a synthetic range offset past the
+    MEASURED max member key, so every probe hit is a false positive
+    by construction at ANY scale factor) and measure the realized
     false-positive rate and bit-array fill.  An undersized filter
     saturates (fill -> 1, fp -> 1) — exactly what this audit
     surfaces before a 100 TB scan ships a useless filter to every
@@ -180,8 +184,14 @@ def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     work anywhere."""
     o = table(spark, sf_dir, "orders")
     members = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
-    probes = spark.range(10_000_000, 10_002_000).select(
-        F.col("id").alias("c_custkey")
+    # Probe keys start past the measured max member key — non-membership
+    # holds at any SF (round-6 ADVICE).  The 1-row max aggregate is a
+    # broadcast attach onto a 2000-row synthetic range.
+    max_key = members.agg(F.max("c_custkey").alias("max_key"))
+    probes = (
+        spark.range(0, 2000)
+        .crossJoin(F.broadcast(max_key))
+        .select((F.col("max_key") + 1 + F.col("id")).alias("c_custkey"))
     )
 
     legs = []

@@ -833,3 +833,47 @@ def test_truncated_headers_fall_to_stub_not_crash():
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xe0\x00\xff") is None  # short APP0
     trunc = b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + b"\x00" * 5
     assert decode_png_pixels(trunc) is None
+
+
+def test_round6_advice_decoder_contracts():
+    """Round-6 ADVICE regressions: (1) a GIF whose LZW stream indexes
+    past its palette returns None — never modulo-fabricated pixels;
+    (2) legal 0xFF fill bytes before a marker (ITU T.81 B.1.1.2) do
+    not break the baseline JPEG marker walk; (3) frame_stride < 1 on
+    AVI decode returns None, not ZeroDivisionError."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+    )
+
+    # (1) hand-built 1x1 GIF: 2-entry GCT, LZW literal index 3 >= 2.
+    # 3-bit codes LSB-packed: clear(4), literal 3, end(5) -> 0x5C 0x01
+    bad_gif = (
+        b"GIF89a" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x80, 0, 0])            # GCT present, 2 entries
+        + b"\x10\x20\x30\x40\x50\x60"    # the 2-color palette
+        + b"\x2c" + b"\x00" * 4
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little") + b"\x00"
+        + bytes([2])                     # LZW min code size
+        + b"\x02\x5c\x01\x00"            # one 2-byte sub-block + terminator
+        + b"\x3b"
+    )
+    assert decode_gif_pixels(bad_gif) is None
+    # same stream with a VALID literal (1) still decodes
+    ok_gif = bad_gif.replace(b"\x02\x5c\x01\x00", b"\x02\x4c\x01\x00")
+    px = decode_gif_pixels(ok_gif)
+    assert px is not None and tuple(int(v) for v in px[0, 0]) == (0x40, 0x50, 0x60)
+
+    # (2) fill bytes after SOI and between segments decode identically
+    jpeg = _jpeg_real([[(120, 30, 200)] * 8 for _ in range(8)])
+    padded = jpeg[:2] + b"\xff\xff\xff" + jpeg[2:]
+    assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(jpeg))
+
+    # (3) invalid stride -> None tier on a REAL avi (no ZeroDivisionError)
+    avi = _avi([jpeg])
+    assert decode_avi_frames(avi, frame_stride=1) is not None
+    assert decode_avi_frames(avi, frame_stride=0) is None
+    assert decode_avi_frames(avi, frame_stride=-2) is None
