@@ -11,8 +11,14 @@ echo "=== DuckDB baseline -> DUCKDB_SF01.json ==="
 python tools/duckdb_baseline.py /root/testdata/sf0.1 DUCKDB_SF01.json
 echo "=== shuffle audit -> SHUFFLE_${R}.json ==="
 python tools/shuffle_audit.py /root/testdata/sf0.1 SHUFFLE_${R}.json
+echo "=== sf1 shuffle audit -> SHUFFLE_sf1_${R}.json (round-6 ask #5) ==="
+if [ -f data/sf1/lineitem.parquet ] || python tools/make_sf1.py; then
+  python tools/shuffle_audit.py data/sf1 SHUFFLE_sf1_${R}.json
+fi
 echo "=== full-registry preflight -> CORRECTNESS_LOCAL_${R}.json ==="
 python tools/preflight.py /root/testdata/sf0.01 999 CORRECTNESS_LOCAL_${R}.json
+echo "=== vintage gate (round-6 ask #7) ==="
+python tools/preflight.py --check-vintage
 echo "=== scaling benches ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_001.json python bench.py > /tmp/scaling_001_${R}.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_01.json python bench.py > /tmp/scaling_01_${R}.json

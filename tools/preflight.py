@@ -10,6 +10,19 @@ executed and reported with their row counts.
 
 Usage: python tools/preflight.py [sf_dir] [n_window]
 Exit code 0 = every oracle query in the window matches.
+
+Vintage gate (round-6 verdict ask #7):
+
+    python tools/preflight.py --check-vintage [max_age_rounds]
+
+scans the committed CORRECTNESS_r*.json banks and fails if any
+registered oracle query either (a) has NO hash-green driver row in any
+bank AND is not seated in the current 50-slot window (it could never
+earn one), or (b) has a newest green row older than ``max_age_rounds``
+rounds (default 4) AND is not seated for re-verification.  This is the
+registry-growth discipline: at 50 window slots per round, keeping the
+whole registry within a 4-round re-verification cycle caps net new
+oracle queries at roughly (50 - rotation backlog) per round.
 """
 
 from __future__ import annotations
@@ -98,7 +111,65 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def check_vintage(max_age: int = 4) -> int:
+    """Fail if any registered oracle query is unbanked (and unseated)
+    or its newest hash-green driver row is older than ``max_age``
+    rounds relative to the newest bank present.  Pure file scan — no
+    Spark session."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    oracles = entry_mod.oracle_sql()
+    window = set(list(entry_mod.queries())[:50])
+    newest_green: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                newest_green[name] = max(newest_green.get(name, 0), rnd)
+    if not rounds:
+        print("no CORRECTNESS_r*.json banks found — nothing to gate")
+        return 0
+    latest = max(rounds)
+    unbanked, stale = [], []
+    for name in oracles:
+        if name in window:
+            continue  # seated this round: earns/refreshes its row
+        got = newest_green.get(name)
+        if got is None:
+            unbanked.append(name)
+        elif latest - got >= max_age:
+            stale.append((name, got))
+    print(
+        f"vintage gate: {len(oracles)} oracle queries, newest bank r{latest:02d}, "
+        f"window covers {len(window & set(oracles))}"
+    )
+    for name in unbanked:
+        print(f"  UNBANKED (and not seated): {name}")
+    for name, got in sorted(stale, key=lambda x: x[1]):
+        print(f"  STALE (r{got:02d}, age {latest - got} >= {max_age}): {name}")
+    if unbanked or stale:
+        print(f"\n{len(unbanked)} unbanked + {len(stale)} stale — reseat or trim")
+        return 1
+    print("all oracle queries banked within the re-verification horizon")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--check-vintage":
+        return check_vintage(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_window = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     out_json = sys.argv[3] if len(sys.argv) > 3 else None
