@@ -42,6 +42,7 @@ from . import queries_ann_oracle  # noqa: F401,E402
 from . import queries_analytics5  # noqa: F401,E402
 from . import queries_platform2  # noqa: F401,E402
 from . import queries_platform  # noqa: F401,E402
+from . import queries_platform3  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -60,6 +61,20 @@ _DRIVER_PRIORITY: list[str] = [
     # ROUND-7 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
     # oracle-bearing queries are seated; rows-only tiers are never
     # seated (the driver banks nothing for them).
+    # (0) NEW this round (queries_platform3.py, 10 oracles) — per the
+    #     growth-discipline cap, exactly the 10 slots freed by trimming
+    #     the r04 tail (those rows stay age-3 in the r04 bank, inside
+    #     the 4-round vintage horizon).
+    "l_diversity_audit",
+    "dp_clipping_audit",
+    "table_stats_profile",
+    "join_cardinality_audit",
+    "dow_seasonality_index",
+    "event_interarrival_profile",
+    "ivf_cell_balance_audit",
+    "sq_quantization_error_audit",
+    "corpus_novelty_curve",
+    "cross_source_fingerprint_overlap",
     # (a) never-banked round-6 tail (10): green in CORRECTNESS_LOCAL_r06
     #     but added after the round-6 window froze — seating them here
     #     converts the last local-only oracles into banked driver rows
@@ -107,17 +122,9 @@ _DRIVER_PRIORITY: list[str] = [
     "split_leakage_check",
     "tfidf_top_terms",
     "variant_json_events",
-    # (d) oldest r04-vintage rows, alphabetical (10)
-    "array_agg_segments",
-    "bitmap_distinct_rollup",
-    "cdc_merge_customers",
-    "chi2_status_priority",
-    "customer_balance_deciles",
-    "dedup_keep_best_doc",
-    "doc_bigram_logprob",
-    "doc_type_token_ratio",
-    "doc_zipf_slope",
-    "dq_contract_orders",
+    # (d) r04-vintage re-verification resumes in round 8 (trimmed to
+    #     make room for the round-7 additions; all r04 rows remain
+    #     inside the 4-round vintage horizon until round 9).
 ]
 # 50 priority entries fill the driver's 50-slot window exactly
 # (checked below).  Every other query rides on banked green rows
