@@ -130,19 +130,25 @@ _DRIVER_PRIORITY: list[str] = [
 # (checked below).  Every other query rides on banked green rows
 # (CORRECTNESS_r01-r06) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-7 window freeze: registry 211 queries / 185 oracles; the
-# union of r01-r06 banks covers 175 of the 185 (vintages after
-# CORRECTNESS_r06: 28×r03, 50×r04, 50×r05, 47×r06); the 10 in (a)
-# are the only oracle rows without a bank.  After CORRECTNESS_r07
-# banks this window, all 185 oracle queries are driver-proven and no
-# banked row is older than r04.
+# round-7 window freeze: registry 221 queries / 195 oracles; the
+# union of r01-r06 banks covers 175 of the 195 (vintages after
+# CORRECTNESS_r06: 28×r03, 50×r04, 50×r05, 47×r06); the 20 unbanked
+# are exactly sections (0) and (a) of this window — the 10 new
+# round-7 queries and the 10 round-6 post-close tail.  After
+# CORRECTNESS_r07 banks this window, all 195 oracle queries are
+# driver-proven and no banked row is older than r04.
+#
+# ROUND-8 ROTATION (precomputed): prepend any round-8 additions or
+# changed-plan re-verifies, then the 50 r04-vintage rows (oldest
+# first, alphabetical) — at the ~10-new cap that seats 40 of them;
+# the residue reaches age 5 in round 9 and MUST be seated there
+# (tools/preflight.py --check-vintage enforces exactly this).
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every
-# banked row within ~4 rounds; tools/preflight.py --check-vintage
-# gates on any oracle row older than 4 rounds or missing entirely.
-# When round-7 queries land, prepend them here and trim the same
-# number of names off the (d) r04 tail.
+# banked row within ~4-5 rounds; tools/preflight.py --check-vintage
+# gates on any oracle row STRICTLY older than 4 rounds (or missing
+# entirely) that is not seated in the current window.
 
 
 def _reorder_for_driver() -> None:

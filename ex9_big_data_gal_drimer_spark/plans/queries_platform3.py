@@ -629,7 +629,7 @@ def event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_id, n_vecs,
            ROUND(100.0 * CAST(n_vecs AS DOUBLE)
                  / SUM(n_vecs) OVER (), 4) AS share_pct,
-           ROUND(CAST(n_vecs AS DOUBLE) * COUNT(*) OVER ()
+           ROUND(CAST(n_vecs AS DOUBLE) * 8
                  / SUM(n_vecs) OVER (), 4) AS load_factor
     FROM cells
     ORDER BY c_id
@@ -677,9 +677,12 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_vecs").over(w),
                 4,
             ).alias("share_pct"),
+            # load vs uniform over ALL k=8 layout cells (a cell that
+            # empties out must INFLATE the others' load, so the
+            # divisor is the layout k, not the occupied-cell count)
             F.round(
                 F.col("n_vecs").cast("double")
-                * F.count(F.lit(1)).over(w)
+                * F.lit(8)
                 / F.sum("n_vecs").over(w),
                 4,
             ).alias("load_factor"),

@@ -12,9 +12,12 @@ python tools/duckdb_baseline.py /root/testdata/sf0.1 DUCKDB_SF01.json
 echo "=== shuffle audit -> SHUFFLE_${R}.json ==="
 python tools/shuffle_audit.py /root/testdata/sf0.1 SHUFFLE_${R}.json
 echo "=== sf1 shuffle audit -> SHUFFLE_sf1_${R}.json (round-6 ask #5) ==="
-if [ -f data/sf1/lineitem.parquet ] || python tools/make_sf1.py; then
-  python tools/shuffle_audit.py data/sf1 SHUFFLE_sf1_${R}.json
+if [ ! -f data/sf1/lineitem.parquet ]; then
+  # fail loudly: a silent skip would close the round without the
+  # required sf1 shuffle artifact (round-7 review finding)
+  python tools/make_sf1.py
 fi
+python tools/shuffle_audit.py data/sf1 SHUFFLE_sf1_${R}.json
 echo "=== full-registry preflight -> CORRECTNESS_LOCAL_${R}.json ==="
 python tools/preflight.py /root/testdata/sf0.01 999 CORRECTNESS_LOCAL_${R}.json
 echo "=== vintage gate (round-6 ask #7) ==="

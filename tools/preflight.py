@@ -18,8 +18,9 @@ Vintage gate (round-6 verdict ask #7):
 scans the committed CORRECTNESS_r*.json banks and fails if any
 registered oracle query either (a) has NO hash-green driver row in any
 bank AND is not seated in the current 50-slot window (it could never
-earn one), or (b) has a newest green row older than ``max_age_rounds``
-rounds (default 4) AND is not seated for re-verification.  This is the
+earn one), or (b) has a newest green row STRICTLY older than ``max_age_rounds``
+rounds (default 4) AND is not seated for re-verification — i.e. an
+age-4 row is still legal but must appear in the current window.  This is the
 registry-growth discipline: at 50 window slots per round, keeping the
 whole registry within a 4-round re-verification cycle caps net new
 oracle queries at roughly (50 - rotation backlog) per round.
@@ -150,7 +151,10 @@ def check_vintage(max_age: int = 4) -> int:
         got = newest_green.get(name)
         if got is None:
             unbanked.append(name)
-        elif latest - got >= max_age:
+        elif latest - got > max_age:
+            # strictly OLDER than max_age rounds (an age-4 row is the
+            # oldest the rotation plan allows; it must be seated in
+            # the NEXT window, and this gate fires if it wasn't)
             stale.append((name, got))
     print(
         f"vintage gate: {len(oracles)} oracle queries, newest bank r{latest:02d}, "

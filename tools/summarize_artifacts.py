@@ -66,6 +66,15 @@ def main() -> int:
         shuffle["n_queries"] == n_q,
         f"shuffle audit covers registry ({shuffle['n_queries']}/{n_q})",
     )
+    try:
+        sh1 = load(f"SHUFFLE_sf1_{tag}.json")["summary"]
+        check(
+            sh1["n_queries"] == n_q,
+            f"sf1 shuffle audit covers registry ({sh1['n_queries']}/{n_q})",
+        )
+        check(not sh1["queries_with_spill"], "zero spills at sf1")
+    except FileNotFoundError:
+        check(False, f"SHUFFLE_sf1_{tag}.json missing")
     check(
         len(lrows) == n_q,
         f"local preflight covers registry ({len(lrows)}/{n_q})",
