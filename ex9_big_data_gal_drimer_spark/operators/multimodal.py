@@ -8,14 +8,15 @@ tiered: 24-bit BMP, binary PPM, AND 8-bit PNG — sequential or
 Adam7-interlaced (stdlib ``zlib`` inflate + spec unfiltering,
 :func:`decode_png_pixels`) —
 decode FOR REAL — header parse + numpy pixel statistics — as does
-non-interlaced palette GIF (pure-Python LZW, :func:`decode_gif_pixels`)
+palette GIF, sequential or interlaced (pure-Python LZW + the 4-pass
+row permutation, :func:`decode_gif_pixels`)
 and baseline sequential JPEG (pure-Python huffman entropy decode +
 numpy dequantize/IDCT/upsample, :func:`decode_jpeg_pixels`).  Audio
 decodes for real from PCM WAV (:func:`decode_wav_samples` → time- and
 FFT-domain features) and video from RIFF AVI (MJPEG via the JPEG
 decoder, raw DIB via numpy; :func:`decode_avi_frames` with frame
-sampling).  Non-baseline variants (progressive JPEG, interlaced
-GIF, compressed audio/video codecs) need libraries absent from
+sampling).  Non-baseline variants (progressive JPEG, compressed
+audio/video codecs) need libraries absent from
 this container, so they either fall back to a documented
 deterministic sha256 stub (default) or raise ``NotImplementedError``
 (``real_decoder=True``) — never silent fake values on the real path.
@@ -488,14 +489,16 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
 
 
 def decode_gif_pixels(b: bytes):
-    """Decode the first frame of a non-interlaced palette GIF
-    (87a/89a) to an (h, w, 3) RGB uint8 array — pure-Python LZW
+    """Decode the first frame of a palette GIF (87a/89a, sequential
+    or interlaced) to an (h, w, 3) RGB uint8 array — pure-Python LZW
     (:func:`_lzw_decode`) + palette lookup, no imaging library.
     Extensions (graphic control, comments, application) are skipped
-    per spec; interlaced frames return None (stub tier).  Closes the
-    GIF half of the compressed-format gap the same way
-    :func:`decode_png_pixels` closed PNG; JPEG (DCT) remains the one
-    documented stub."""
+    per spec.  Interlaced frames (GIF89a appendix E) store rows in
+    four passes — every 8th row from 0, every 8th from 4, every 4th
+    from 2, every 2nd from 1 — so de-interlacing is a pure row
+    permutation after LZW (round-7; closes the GIF half the way
+    Adam7 closed PNG).  Progressive JPEG remains the one documented
+    image stub."""
     import numpy as np
 
     b = bytes(b)
@@ -525,8 +528,9 @@ def decode_gif_pixels(b: bytes):
             h = int.from_bytes(b[pos + 6 : pos + 8], "little")
             ipacked = b[pos + 8]
             pos += 9
-            if ipacked & 0x40 or w <= 0 or h <= 0:  # interlaced: stub tier
+            if w <= 0 or h <= 0:
                 return None
+            interlaced = bool(ipacked & 0x40)
             pal = gct
             if ipacked & 0x80:  # local color table wins
                 n = 2 << (ipacked & 7)
@@ -552,7 +556,20 @@ def decode_gif_pixels(b: bytes):
                 # stub/None tier, never a silently fabricated pixel
                 # (round-6 ADVICE)
                 return None
-            return pal[codes].reshape(h, w, 3)
+            px = pal[codes].reshape(h, w, 3)
+            if interlaced:
+                # stored row order is the 4-pass schedule; scatter
+                # back to natural order (pure permutation)
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                out = np.empty_like(px)
+                out[order] = px
+                return out
+            return px
         elif block == 0x3B:  # trailer
             break
         else:
@@ -872,7 +889,7 @@ def pixel_features(pixels, num_features: int = 8) -> list[float]:
 def decode_image_pixels(b: bytes):
     """Stdlib-decodable formats → pixel array, else None.  Real decode
     now covers BMP (24-bit BI_RGB), binary PPM, 8-bit PNG — sequential
-    or Adam7-interlaced (stdlib zlib), non-interlaced palette GIF
+    or Adam7-interlaced (stdlib zlib), palette GIF incl. interlaced
     (pure-Python LZW), AND baseline huffman JPEG (pure-Python entropy
     decode + numpy IDCT); other codecs need an imaging library."""
     b = bytes(b)
@@ -894,7 +911,8 @@ def media_feature_decoder(num_features: int = 8, real_decoder: bool = False):
     Adam7 per round-6 ask #4, GIF via pure-Python LZW, JPEG via
     pure-Python huffman + numpy IDCT): BMP (24-bit BI_RGB), binary
     PPM, 8-bit PNG (sequential or Adam7-interlaced),
-    non-interlaced palette GIF, and baseline huffman JPEG payloads
+    palette GIF (sequential or interlaced), and baseline huffman
+    JPEG payloads
     are genuinely decoded — stdlib/numpy parse + pixel statistics
     (:func:`pixel_features`) — proving the decode→feature pipeline
     end-to-end without an imaging library.  Audio and video have their

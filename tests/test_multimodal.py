@@ -325,11 +325,12 @@ def test_png_decode_rejects_unsupported():
     lying[8 + 8 + 12] = 1
     assert decode_png_pixels(bytes(lying)) is None
 
-def _gif_real(pixels, version=b"GIF89a", with_extension=False) -> bytes:
+def _gif_real(pixels, version=b"GIF89a", with_extension=False, interlace=False) -> bytes:
     """Real GIF encoder for fixtures: global 256-color palette, one
-    non-interlaced frame, LZW-coded as literal 9-bit codes with
-    periodic CLEARs (the classic "uncompressed GIF" encoding — valid
-    LZW a conforming decoder must accept)."""
+    frame (sequential or interlaced: rows emitted in the 4-pass
+    schedule with the 0x40 descriptor flag), LZW-coded as literal
+    9-bit codes with periodic CLEARs (the classic "uncompressed GIF"
+    encoding — valid LZW a conforming decoder must accept)."""
     h, w = len(pixels), len(pixels[0])
     colors = sorted({px for row in pixels for px in row})
     assert len(colors) <= 256
@@ -340,9 +341,13 @@ def _gif_real(pixels, version=b"GIF89a", with_extension=False) -> bytes:
     palette += b"\x00" * (768 - len(palette))
     min_code = 8
     clear, end = 256, 257
+    row_order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    ) if interlace else range(h)
     codes = [clear]
-    for n, row in enumerate(pixels):
-        for px in row:
+    for y in row_order:
+        for px in pixels[y]:
             if len(codes) % 250 == 0:
                 codes.append(clear)
             codes.append(index[px])
@@ -370,7 +375,12 @@ def _gif_real(pixels, version=b"GIF89a", with_extension=False) -> bytes:
     out += palette
     if with_extension:  # graphic control extension, must be skipped
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    desc_packed = 0x40 if interlace else 0x00
+    out += (
+        b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([desc_packed])
+    )
     out += bytes([min_code]) + sub
     out += b"\x3b"
     return bytes(out)
@@ -979,3 +989,25 @@ def test_png_adam7_decodes_same_as_sequential():
         decode_png_pixels(_png_real(gray, color_type=0)),
         decode_png_pixels(_png_adam7(gray, color_type=0)),
     )
+
+
+def test_gif_interlaced_decodes_same_as_sequential():
+    """Round-7: an interlaced GIF (4-pass row schedule, descriptor
+    flag 0x40) decodes to the SAME pixels as its sequential twin —
+    de-interlacing is a pure row permutation after LZW.  Sizes cover
+    1 row (pass 1 only), 7 rows (no pass-2 rows), and 19 rows (all
+    four passes non-trivial)."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    for h, w in ((1, 5), (7, 4), (19, 23)):
+        px = [
+            [(x % 5 * 40, y % 5 * 50, (x + y) % 7 * 30) for x in range(w)]
+            for y in range(h)
+        ]
+        seq = decode_gif_pixels(_gif_real(px))
+        lace = decode_gif_pixels(_gif_real(px, interlace=True))
+        assert lace is not None and np.array_equal(seq, lace), f"{h}x{w}"
