@@ -41,3 +41,25 @@ def test_window_is_exactly_50_oracle_bearing():
 def test_every_oracle_key_is_registered():
     dangling = [n for n in ORACLES if n not in QUERIES]
     assert not dangling, f"oracles without queries: {dangling}"
+
+
+def test_vintage_verdict_boundaries():
+    """The vintage gate's exact boundary semantics (round-7 review
+    finding): an age-max_age row is LEGAL while unseated (the rotation
+    plan's oldest allowed vintage), age max_age+1 unseated is stale,
+    seating always exempts, and a never-banked query fails only when
+    unseated."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from preflight import vintage_verdict
+
+    oracles = ["fresh", "edge", "over", "over_seated", "new", "new_seated"]
+    window = {"over_seated", "new_seated"}
+    banks = {"fresh": 8, "edge": 4, "over": 3, "over_seated": 3}
+    unbanked, stale = vintage_verdict(oracles, window, banks, latest=8, max_age=4)
+    assert unbanked == ["new"]  # new_seated exempt via the window
+    assert stale == [("over", 3)]  # age 5 > 4; edge (age 4) still legal
+    # one round later with nothing reseated, the edge row goes stale too
+    unbanked, stale = vintage_verdict(oracles, window, banks, latest=9, max_age=4)
+    assert ("edge", 4) in stale and ("over", 3) in stale

@@ -112,6 +112,31 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def vintage_verdict(
+    oracles: list[str],
+    window: set[str],
+    newest_green: dict[str, int],
+    latest: int,
+    max_age: int,
+) -> tuple[list[str], list[tuple[str, int]]]:
+    """Pure core of the vintage gate (unit-tested): returns
+    (unbanked, stale) oracle names.  A query seated in the current
+    window is always exempt — it earns/refreshes its row this round.
+    Staleness is STRICTLY older than ``max_age`` (an age-``max_age``
+    row is the oldest the rotation plan allows, provided the NEXT
+    window seats it — which this gate checks on the next round)."""
+    unbanked, stale = [], []
+    for name in oracles:
+        if name in window:
+            continue
+        got = newest_green.get(name)
+        if got is None:
+            unbanked.append(name)
+        elif latest - got > max_age:
+            stale.append((name, got))
+    return unbanked, stale
+
+
 def check_vintage(max_age: int = 4) -> int:
     """Fail if any registered oracle query is unbanked (and unseated)
     or its newest hash-green driver row is older than ``max_age``
@@ -144,18 +169,9 @@ def check_vintage(max_age: int = 4) -> int:
         print("no CORRECTNESS_r*.json banks found — nothing to gate")
         return 0
     latest = max(rounds)
-    unbanked, stale = [], []
-    for name in oracles:
-        if name in window:
-            continue  # seated this round: earns/refreshes its row
-        got = newest_green.get(name)
-        if got is None:
-            unbanked.append(name)
-        elif latest - got > max_age:
-            # strictly OLDER than max_age rounds (an age-4 row is the
-            # oldest the rotation plan allows; it must be seated in
-            # the NEXT window, and this gate fires if it wasn't)
-            stale.append((name, got))
+    unbanked, stale = vintage_verdict(
+        list(oracles), window, newest_green, latest, max_age
+    )
     print(
         f"vintage gate: {len(oracles)} oracle queries, newest bank r{latest:02d}, "
         f"window covers {len(window & set(oracles))}"
