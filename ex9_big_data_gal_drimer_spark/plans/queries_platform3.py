@@ -727,9 +727,11 @@ def sq_quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose max error jumps after an embedding-model update is the
     signal to re-scale the quantizer.
 
-    Determinism: quantization uses FLOOR(x*127+0.5) (never ROUND —
-    rounding-mode-proof, and x*127 can't land on an exact .5 for
-    dyadic float32 inputs); per-vector MSE is the explicit left fold
+    Determinism: quantization uses FLOOR(x*127+0.5) in BOTH engines
+    (never ROUND — FLOOR of the identical double expression is
+    rounding-mode-proof because the two engines evaluate the same
+    IEEE-754 operation, whereas ROUND's half-even vs half-away
+    behavior differs); per-vector MSE is the explicit left fold
     (F.aggregate ≡ list_reduce over a 0.0-prepended list); the label
     rollup uses only order-free MIN/MAX — no cross-row float sums
     anywhere.
@@ -835,7 +837,10 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the fingerprint projection is materialized once and
     all three aggregates share it."""
     docs = table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / 100).cast("long").alias("batch"),
+        # integer division on BOTH sides (oracle: doc_id // 100) so the
+        # parity is structural, not dependent on non-negative ids and
+        # double-exact division (round-7 ADVICE)
+        F.expr("doc_id div 100").alias("batch"),
         F.md5("text").alias("exact_h"),
         _fp_spark().alias("fp"),
     )

@@ -179,7 +179,7 @@ def check_vintage(max_age: int = 4) -> int:
     for name in unbanked:
         print(f"  UNBANKED (and not seated): {name}")
     for name, got in sorted(stale, key=lambda x: x[1]):
-        print(f"  STALE (r{got:02d}, age {latest - got} >= {max_age}): {name}")
+        print(f"  STALE (r{got:02d}, age {latest - got} > {max_age}): {name}")
     if unbanked or stale:
         print(f"\n{len(unbanked)} unbanked + {len(stale)} stale — reseat or trim")
         return 1
