@@ -693,35 +693,76 @@ def quantity_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
     """Quantity-weighted median of extended price per return flag: the
     first price (ascending) whose cumulative quantity reaches half the
     flag's total — the inventory-weighted price center plain MEDIAN
-    misses.  Two-level plan (round-5 verdict #3): a partial-aggregable
-    groupBy collapses the fact table to (flag, price) partials FIRST,
-    and the cumulative window runs over that bounded grain — distinct
-    extended prices are capped by the part-price × quantity grid, so
-    at 100× data the 3-partition sort sees the same row count, not ⅓
-    of the fact table each.  The first PRICE whose price-grain
-    cumulative reaches half the total is identical to the first ROW's
-    price under row-level cumulation, so the re-grain preserves the
-    banked answer bit-for-bit.  Quantities are integer-valued doubles,
-    so the running sums are exact in both engines and the boundary
-    test cannot flip."""
+    misses.  Two-phase bucketed plan (round-8 verdict #5): phase A
+    partial-aggregates quantities into fixed-width price bins
+    (floor(price/100), ~1k bins over the TPC-H price range), runs the
+    cumulative window over BIN grain (a few thousand rows at every
+    sf), and extracts per flag the boundary bin — the first bin whose
+    bin-cumulative reaches half the total — together with the exact
+    cumulative below it.  Phase B broadcast-joins that 3-row boundary
+    table back and refines EXACTLY within the boundary bin only
+    (~1/1000 of the fact table), so no window ever sorts the near-
+    distinct (flag, price) grain that made the previous plan the #3
+    shuffler (1.19 M window records → a few thousand).  Equivalence
+    is exact: floor(p/100) is monotone in p (IEEE division and floor
+    are both monotone), so bins are contiguous price intervals; the
+    oracle's first crossing price lies in the first bin whose
+    cumulative reaches tot/2, and within it cum_below + in-bin
+    cumulative equals the global cumulative.  Quantities are
+    integer-valued doubles, so every running sum is exact in both
+    engines and tot/2 is an exact x.0/x.5 — the boundary test cannot
+    flip."""
     li = table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag", "l_extendedprice").agg(
+    pbin = F.floor(F.col("l_extendedprice") / 100.0)
+    bins = li.groupBy("l_returnflag", pbin.alias("pb")).agg(
         F.sum("l_quantity").cast("double").alias("qty")
     )
     wcum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
+        .orderBy("pb")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wtot = Window.partitionBy("l_returnflag")
-    w = g.select(
+    b = bins.select(
         "l_returnflag",
-        "l_extendedprice",
+        "pb",
+        "qty",
         F.sum("qty").over(wcum).alias("cum"),
         F.sum("qty").over(wtot).alias("tot"),
     )
+    # Boundary bin per flag: min pb among bins whose cumulative reaches
+    # tot/2.  cum is monotone in pb within a flag, so min(cum) and
+    # min_by(qty, pb) both describe that same boundary row; the exact
+    # cumulative strictly below the bin is cum - qty.
+    boundary = (
+        b.filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("pb").alias("pb"),
+            (F.min("cum") - F.min_by("qty", "pb")).alias("cum_below"),
+            F.min("tot").alias("tot"),
+        )
+        .withColumnRenamed("l_returnflag", "b_flag")
+    )
+    refine = li.join(
+        F.broadcast(boundary),
+        (F.col("l_returnflag") == F.col("b_flag")) & (pbin == F.col("pb")),
+    ).groupBy("l_returnflag", "l_extendedprice", "cum_below", "tot").agg(
+        F.sum("l_quantity").cast("double").alias("qty")
+    )
+    wcum_p = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
-        w.filter(F.col("cum") >= F.col("tot") / 2)
+        refine.select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.col("cum_below") + F.sum("qty").over(wcum_p)).alias("cum"),
+            "tot",
+        )
+        .filter(F.col("cum") >= F.col("tot") / 2)
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 2).alias("weighted_median_price"))
         .orderBy("l_returnflag")

@@ -838,8 +838,8 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three aggregates share it."""
     docs = table(spark, sf_dir, "documents").select(
         # integer division on BOTH sides (oracle: doc_id // 100) so the
-        # parity is structural, not dependent on non-negative ids and
-        # double-exact division (round-7 ADVICE)
+        # parity holds for ids beyond 2^53, where double division stops
+        # being exact (round-7 ADVICE, trimmed per round-8 ADVICE)
         F.expr("doc_id div 100").alias("batch"),
         F.md5("text").alias("exact_h"),
         _fp_spark().alias("fp"),
