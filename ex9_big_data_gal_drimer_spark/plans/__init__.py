@@ -58,91 +58,86 @@ from . import queries_platform3  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-7 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
+    # ROUND-9 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
     # oracle-bearing queries are seated; rows-only tiers are never
     # seated (the driver banks nothing for them).
-    # (0) NEW this round (queries_platform3.py, 10 oracles) — per the
-    #     growth-discipline cap, exactly the 10 slots freed by trimming
-    #     the r04 tail (those rows stay age-3 in the r04 bank, inside
-    #     the 4-round vintage horizon).
-    "l_diversity_audit",
-    "dp_clipping_audit",
-    "table_stats_profile",
-    "join_cardinality_audit",
-    "dow_seasonality_index",
-    "event_interarrival_profile",
-    "ivf_cell_balance_audit",
-    "sq_quantization_error_audit",
-    "corpus_novelty_curve",
-    "cross_source_fingerprint_overlap",
-    # (a) never-banked round-6 tail (10): green in CORRECTNESS_LOCAL_r06
-    #     but added after the round-6 window froze — seating them here
-    #     converts the last local-only oracles into banked driver rows
-    #     (round-6 verdict ask #1).
-    "zorder_layout_audit",
-    "snapshot_diff_cdc",
-    "event_sequence_cohorts",
-    "listagg_top_parts_by_brand",
-    "multiformat_roundtrip_audit",
-    "k_anonymity_audit",
-    "bloom_filter_fp_audit",
-    "daily_revenue_autocorr",
-    "markov_next_event_entropy",
-    "edit_distance_verify_lsh",
-    # (b) changed-plan re-verifies (2): round-6 shuffle-halving
-    #     rewrites, oracle-green locally — bank the NEW plans.
-    "basket_lift_top_pairs",
-    "part_cooccurrence_top20",
-    # (c) rolling re-verification: the remaining r03-vintage rows (28)
-    "decontaminate_against_eval",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "doc_quality_scores",
-    "doc_repetition_quality",
-    "events_enriched_by_nation",
-    "events_ohlc_hourly",
-    "events_rollup_cascade",
-    "from_json_typed",
-    "funnel_view_click_purchase",
-    "hotels_q1",
-    "hotels_q2",
-    "hotels_q3",
-    "hotels_q4",
-    "hotels_q5",
-    "hotels_q6",
-    "knn_vectorized_cosine",
-    "lineitem_price_stats",
-    "monthly_revenue_momentum",
-    "pack_sequences",
-    "partitioned_scan_pruning",
-    "pii_redaction_audit",
-    "range_join_price_bands",
-    "resample_user_hourly",
-    "rolling_revenue_frames",
-    "split_leakage_check",
-    "tfidf_top_terms",
-    "variant_json_events",
-    # (d) r04-vintage re-verification resumes in round 8 (trimmed to
-    #     make room for the round-7 additions; all r04 rows remain
-    #     inside the 4-round vintage horizon until round 9).
+    # (a) changed-plan re-verify (1): the round-9 two-phase bucketed
+    #     rewrite of the weighted median (round-8 verdict ask #5) —
+    #     oracle-green locally at sf0.01 and sf0.1; bank the NEW plan.
+    "quantity_weighted_median_price",
+    # (b) rolling re-verification: ALL 49 r04-vintage rows (round 8
+    #     banked no new work, so the precomputed round-8 rotation was
+    #     never applied and the whole r04 cohort reaches age 5 at the
+    #     r09 bank — every one must be seated now, per the round-8
+    #     verdict ask #1 and tools/preflight.py --check-vintage).
+    #     Alphabetical (all same vintage).
+    "array_agg_segments",
+    "bitmap_distinct_rollup",
+    "cdc_merge_customers",
+    "chi2_status_priority",
+    "customer_balance_deciles",
+    "dedup_keep_best_doc",
+    "doc_bigram_logprob",
+    "doc_type_token_ratio",
+    "doc_zipf_slope",
+    "dq_contract_orders",
+    "embedding_norm_outliers",
+    "event_retention_cohorts",
+    "events_anomaly_zscore",
+    "events_click_nonconverting",
+    "ewma_user_value",
+    "group_aware_split",
+    "histogram_order_totals",
+    "incremental_agg_maintenance",
+    "late_event_lateness_audit",
+    "ngram_duplication_audit",
+    "orders_running_share_pareto",
+    "orders_yoy_growth_by_nation",
+    "pagerank_part_cooccurrence",
+    "phrase_search_positional",
+    "price_size_regression",
+    "profile_orders_columns",
+    "recursive_month_series",
+    "robust_price_stats_by_priority",
+    "scd2_priority_history",
+    "sessionize_events_gap",
+    "snapshot_diff_customers",
+    "sorted_layout_rowgroup_skip",
+    "sql_udf_doc_score",
+    "token_length_buckets",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discount_revenue",
+    "tpch_q21_last_shippers",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_late_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "training_mix_by_lang",
+    "triangle_census_cooccurrence",
+    "user_rfm_segmentation",
+    "zorder_layout_skip",
 ]
 # 50 priority entries fill the driver's 50-slot window exactly
 # (checked below).  Every other query rides on banked green rows
-# (CORRECTNESS_r01-r06) plus the local differential suite, which
+# (CORRECTNESS_r01-r08) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-7 window freeze: registry 221 queries / 195 oracles; the
-# union of r01-r06 banks covers 175 of the 195 (vintages after
-# CORRECTNESS_r06: 28×r03, 50×r04, 50×r05, 47×r06); the 20 unbanked
-# are exactly sections (0) and (a) of this window — the 10 new
-# round-7 queries and the 10 round-6 post-close tail.  After
-# CORRECTNESS_r07 banks this window, all 195 oracle queries are
-# driver-proven and no banked row is older than r04.
+# round-9 window freeze: registry 221 queries / 195 oracles, all
+# 195 banked green; vintages after CORRECTNESS_r08: 49×r04, 46×r05,
+# 50×r06, 50×r08 (the r08 bank re-verified the round-7 window).
+# After CORRECTNESS_r09 banks this window, no row is older than r05
+# (age 4 — the oldest the rotation plan allows).
 #
-# ROUND-8 ROTATION (precomputed): prepend any round-8 additions or
-# changed-plan re-verifies, then the 50 r04-vintage rows (oldest
-# first, alphabetical) — at the ~10-new cap that seats 40 of them;
-# the residue reaches age 5 in round 9 and MUST be seated there
-# (tools/preflight.py --check-vintage enforces exactly this).
+# ROUND-10 ROTATION (precomputed): prepend any round-10 additions or
+# changed-plan re-verifies (≤4 at this backlog), then the 46
+# r05-vintage rows (age 5 at the r10 bank — all MUST be seated;
+# alphabetical: adaptive_quality_threshold …
+# welch_ttest_purchase_view per the r05 bank).  46 + 4 new fits
+# the 50-slot window exactly;
+# tools/preflight.py --check-vintage enforces the residue rule.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every
