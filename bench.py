@@ -212,7 +212,24 @@ def main() -> int:
         json.dump(out, fh, indent=2, sort_keys=True)
         fh.write("\n")
 
-    print(json.dumps(out))
+    # The driver keeps only the last 2000 chars of stdout and attempts
+    # to json-parse them; the full 221-query map is ~10 KB, so printing
+    # it put the line's head past the tail window and left the driver's
+    # "parsed" field null every round (round-8 verdict ask #4).  Print
+    # a COMPACT line instead: suite metric + the flagship hotels
+    # headline queries, with a pointer to the full per-query artifact
+    # (always persisted above, committed per round as BENCH_FULL_r{N}).
+    compact = {
+        "metric": "suite_seconds",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {q: t for q, t in sorted(times.items()) if q.startswith("hotels_q")},
+        "sf": sf,
+        "setup_seconds": setup_seconds,
+        "n_queries": len(times),
+        "full": os.path.basename(full_path),
+    }
+    print(json.dumps(compact))
     return 0
 
 
