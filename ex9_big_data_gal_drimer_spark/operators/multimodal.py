@@ -10,13 +10,15 @@ Adam7-interlaced (stdlib ``zlib`` inflate + spec unfiltering,
 decode FOR REAL — header parse + numpy pixel statistics — as does
 palette GIF, sequential or interlaced (pure-Python LZW + the 4-pass
 row permutation, :func:`decode_gif_pixels`)
-and baseline sequential JPEG (pure-Python huffman entropy decode +
-numpy dequantize/IDCT/upsample, :func:`decode_jpeg_pixels`).  Audio
-decodes for real from PCM WAV (:func:`decode_wav_samples` → time- and
-FFT-domain features) and video from RIFF AVI (MJPEG via the JPEG
-decoder, raw DIB via numpy; :func:`decode_avi_frames` with frame
-sampling).  Non-baseline variants (progressive JPEG, compressed
-audio/video codecs) need libraries absent from
+and huffman JPEG — baseline sequential (pure-Python entropy decode +
+numpy dequantize/IDCT/upsample, :func:`decode_jpeg_pixels`) AND
+progressive (multi-scan spectral-selection / successive-approximation
+coefficient accumulation, :func:`decode_jpeg_progressive_pixels`).
+Audio decodes for real from PCM WAV (:func:`decode_wav_samples` →
+time- and FFT-domain features) and video from RIFF AVI (MJPEG via the
+JPEG decoder, raw DIB via numpy; :func:`decode_avi_frames` with frame
+sampling).  The remaining variants (arithmetic-coded/12-bit JPEG,
+compressed audio/video codecs) need libraries absent from
 this container, so they either fall back to a documented
 deterministic sha256 stub (default) or raise ``NotImplementedError``
 (``real_decoder=True``) — never silent fake values on the real path.
@@ -497,8 +499,7 @@ def decode_gif_pixels(b: bytes):
     four passes — every 8th row from 0, every 8th from 4, every 4th
     from 2, every 2nd from 1 — so de-interlacing is a pure row
     permutation after LZW (round-7; closes the GIF half the way
-    Adam7 closed PNG).  Progressive JPEG remains the one documented
-    image stub."""
+    Adam7 closed PNG)."""
     import numpy as np
 
     b = bytes(b)
@@ -655,16 +656,114 @@ def _idct_basis():
     return m
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> bool:
+    """DQT segment → 8-bit quantization tables (tq → (8,8) float array,
+    natural order).  False on 16-bit quantizers or truncation — shared
+    by the baseline and progressive decoders."""
+    import numpy as np
+
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        if pq != 0 or len(seg) < i + 65:
+            return False  # 16-bit quantizers: out of 8-bit scope
+        zz = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.float64)
+        q = np.empty((8, 8))
+        for k, (r, c) in enumerate(_ZIGZAG):
+            q[r, c] = zz[k]
+        qtables[tq] = q
+        i += 65
+    return True
+
+
+def _parse_dht(seg: bytes, htables: dict) -> bool:
+    """DHT segment → canonical huffman maps ((class, id) → {(length,
+    code): symbol}).  False on truncation."""
+    i = 0
+    while i + 17 <= len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        counts = seg[i + 1 : i + 17]
+        n = sum(counts)
+        syms = seg[i + 17 : i + 17 + n]
+        if len(syms) < n:
+            return False
+        table, code, si = {}, 0, i + 17
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = seg[si]
+                code += 1
+                si += 1
+            code <<= 1
+        htables[(tc, th)] = table
+        i += 17 + n
+    return True
+
+
+def _parse_sof(seg: bytes):
+    """SOFn frame header → (height, width, [(comp_id, h, v, tq), ...])
+    or None on truncation / 12-bit precision / unsupported component
+    count or sampling factors."""
+    if len(seg) < 6 or seg[0] != 8:
+        return None  # truncated frame header / 12-bit precision
+    height = int.from_bytes(seg[1:3], "big")
+    width = int.from_bytes(seg[3:5], "big")
+    ncomp = seg[5]
+    if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
+        return None
+    comps = []
+    for ci in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+        comps.append((cid, hv >> 4, hv & 0x0F, tq))
+    if height <= 0 or width <= 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        return None
+    for _, ch, cv, _tq in comps:
+        if ch < 1 or cv < 1 or hmax % ch or vmax % cv:
+            return None
+    return height, width, comps
+
+
+def _jpeg_planes_to_rgb(planes, comps, hmax, vmax, height, width):
+    """Padded per-component pixel planes → cropped (h, w, 3) RGB uint8:
+    nearest-neighbor chroma upsample, crop to the frame size, grayscale
+    replication or YCbCr→RGB.  Shared reconstruction tail for the
+    baseline and progressive decoders."""
+    import numpy as np
+
+    full = []
+    for ci, (_, ch, cv, _) in enumerate(comps):
+        p = planes[ci]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg_pixels(b: bytes):
-    """Decode a baseline sequential huffman JPEG (SOF0/SOF1, 8-bit,
-    grayscale or YCbCr with any h/v sampling factors ≤4, restart
-    markers honored) to an (h, w, 3) RGB uint8 array — pure-Python
-    marker walk + canonical huffman decode, numpy dequantize / IDCT /
-    chroma upsample / color transform; no codec library.  Returns
-    None for progressive (SOF2), arithmetic-coded, lossless, 12-bit,
-    or structurally corrupt streams — those stay on the documented
-    stub/raise path.  Closes the final §2.11 compressed-format gap
-    after PNG (round-5 ask #6) and GIF.
+    """Decode a huffman JPEG to an (h, w, 3) RGB uint8 array —
+    baseline sequential (SOF0/SOF1, 8-bit, grayscale or YCbCr with any
+    h/v sampling factors ≤4, restart markers honored) decoded here via
+    pure-Python marker walk + canonical huffman decode, numpy
+    dequantize / IDCT / chroma upsample / color transform; progressive
+    (SOF2) dispatched to :func:`decode_jpeg_progressive_pixels`
+    (round-8 ask #6); no codec library either way.  Returns None for
+    arithmetic-coded, lossless, 12-bit, or structurally corrupt
+    streams — those stay on the documented stub/raise path.
 
     Scale note: huffman decode is sequential per payload by
     construction (bit-serial entropy coding); corpus-level parallelism
@@ -701,51 +800,20 @@ def decode_jpeg_pixels(b: bytes):
         if seglen < 2 or len(seg) < seglen - 2:
             return None  # truncated segment: stub tier, never a crash
         if marker == 0xDB:  # DQT: one or more 64-entry tables
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                if pq != 0 or len(seg) < i + 65:
-                    return None  # 16-bit quantizers: out of baseline scope
-                zz = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.float64)
-                q = np.empty((8, 8))
-                for k, (r, c) in enumerate(_ZIGZAG):
-                    q[r, c] = zz[k]
-                qtables[tq] = q
-                i += 65
-        elif marker == 0xC4:  # DHT: canonical (counts[16], symbols)
-            i = 0
-            while i + 17 <= len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                counts = seg[i + 1 : i + 17]
-                n = sum(counts)
-                syms = seg[i + 17 : i + 17 + n]
-                if len(syms) < n:
-                    return None
-                table, code, si = {}, 0, i + 17
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = seg[si]
-                        code += 1
-                        si += 1
-                    code <<= 1
-                htables[(tc, th)] = table
-                i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline huffman
-            if len(seg) < 6 or seg[0] != 8:
-                return None  # truncated frame header / 12-bit precision
-            height = int.from_bytes(seg[1:3], "big")
-            width = int.from_bytes(seg[3:5], "big")
-            ncomp = seg[5]
-            if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
+            if not _parse_dqt(seg, qtables):
                 return None
-            comps = []
-            for ci in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC4:  # DHT: canonical (counts[16], symbols)
+            if not _parse_dht(seg, htables):
+                return None
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline huffman
+            frame = _parse_sof(seg)
+            if frame is None:
+                return None
+        elif marker == 0xC2:  # SOF2: progressive huffman — own walk
+            return decode_jpeg_progressive_pixels(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / lossless
+            return None  # arithmetic / lossless / hierarchical
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS: component->table map, then entropy data
@@ -762,20 +830,16 @@ def decode_jpeg_pixels(b: bytes):
     if frame is None or scan is None:
         return None
     height, width, comps = frame
-    if height <= 0 or width <= 0:
-        return None
     scan_tables, data_start = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        return None
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     planes = []
     for _, ch, cv, _tq in comps:
         planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), np.float64))
-    for _, ch, cv, tq in comps:
-        if tq not in qtables or ch < 1 or cv < 1 or hmax % ch or vmax % cv:
+    for _, _ch, _cv, tq in comps:
+        if tq not in qtables:
             return None
     for cid, _, _, _ in comps:
         if cid not in scan_tables:
@@ -844,25 +908,385 @@ def decode_jpeg_pixels(b: bytes):
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    full = []
-    for ci, (_, ch, cv, _) in enumerate(comps):
-        p = planes[ci]
-        if ch != hmax or cv != vmax:
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        full.append(p[:height, :width])
-    if len(full) == 1:
-        g = np.clip(full[0], 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_planes_to_rgb(planes, comps, hmax, vmax, height, width)
+
+
+def decode_jpeg_progressive_pixels(b: bytes):
+    """Decode a progressive huffman JPEG (SOF2, 8-bit, grayscale or
+    YCbCr, spectral selection AND successive approximation, restart
+    markers honored) to an (h, w, 3) RGB uint8 array — closes the last
+    image-format stub (round-8 verdict ask #6).  Pure-Python multi-scan
+    marker walk accumulating dequantizable coefficients per component
+    (ITU T.81 Annex G.2: DC first/refinement scans in interleaved MCU
+    or per-component order, AC first/refinement scans per component
+    with end-of-band run coding), then one vectorized numpy
+    dequantize + IDCT over every block at once and the shared
+    upsample/color tail (:func:`_jpeg_planes_to_rgb`).  Returns None
+    for arithmetic-coded / 12-bit / structurally corrupt streams and
+    for illegal progression scripts (e.g. a DC scan with Se > 0 — what
+    a baseline file relabeled SOF2 looks like).
+
+    Scale note: like the baseline decoder, entropy decode is
+    bit-serial per payload by construction; corpus parallelism comes
+    from the Arrow-batched ``mapInPandas`` that calls this per payload.
+    """
+    import numpy as np
+
+    b = bytes(b)
+    if b[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, object] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    coeffs = None  # per-component (pad_bh, pad_bw, 64) int32, zigzag order
+    restart_interval = 0
+    saw_scan = False
+    pos = 2
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # legal fill bytes before the marker (T.81 B.1.1.2)
+        marker = b[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI: all scans seen
+            break
+        if pos + 4 > len(b):
+            return None
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if seglen < 2 or len(seg) < seglen - 2:
+            return None  # truncated segment: stub tier, never a crash
+        if marker == 0xDB:
+            if not _parse_dqt(seg, qtables):
+                return None
+        elif marker == 0xC4:
+            if not _parse_dht(seg, htables):
+                return None
+        elif marker == 0xC2:
+            if frame is not None:
+                return None  # one frame per stream
+            frame = _parse_sof(seg)
+            if frame is None:
+                return None
+            height, width, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            coeffs = [
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int32)
+                for _, ch, cv, _tq in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # mixed / arithmetic / lossless frames
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            if frame is None or coeffs is None:
+                return None
+            end = _jpeg_progressive_scan(
+                b, pos + 2 + seglen, seg, frame, htables, coeffs,
+                restart_interval,
+            )
+            if end is None:
+                return None
+            saw_scan = True
+            pos = end
+            continue
+        pos += 2 + seglen
+    if frame is None or coeffs is None or not saw_scan:
+        return None
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    basis = _idct_basis()
+    planes = []
+    for ci, (_, _ch, _cv, tq) in enumerate(comps):
+        if tq not in qtables:
+            return None
+        q8 = qtables[tq]
+        zz = coeffs[ci].astype(np.float64)  # (bh, bw, 64)
+        blk = np.zeros(zz.shape[:2] + (8, 8))
+        for k, (r, c) in enumerate(_ZIGZAG):
+            blk[:, :, r, c] = zz[:, :, k] * q8[r, c]
+        # spatial = M @ F @ M.T for every block at once
+        spatial = np.einsum("ij,yxjk,lk->yxil", basis, blk, basis) + 128.0
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(
+                zz.shape[0] * 8, zz.shape[1] * 8
+            )
+        )
+    return _jpeg_planes_to_rgb(planes, comps, hmax, vmax, height, width)
+
+
+def _jpeg_progressive_scan(
+    b: bytes,
+    data_start: int,
+    seg: bytes,
+    frame,
+    htables: dict,
+    coeffs,
+    restart_interval: int,
+):
+    """Decode one progressive SOS: entropy data starting at
+    ``data_start``, accumulating into per-component zigzag coefficient
+    arrays.  Returns the absolute offset of the next marker's 0xFF, or
+    None on a malformed scan.  Implements T.81 G.2: DC first (diff of
+    point-transformed values) / DC refinement (one bit per block) in
+    interleaved MCU order or per-component block order, AC first
+    (run-size with EOB-run coding) / AC refinement (±1 insertions plus
+    correction bits for already-nonzero coefficients) in per-component
+    block order only, restart markers resetting predictors and the
+    EOB run."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    if len(seg) < 1:
+        return None
+    ns = seg[0]
+    if ns < 1 or ns > len(comps) or len(seg) < 4 + 2 * ns:
+        return None
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    scomps = []  # (ci, dc_table_id, ac_table_id)
+    for i in range(ns):
+        cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+        if cid not in cid_to_ci:
+            return None
+        scomps.append((cid_to_ci[cid], tt >> 4, tt & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+    if ss == 0:
+        if se != 0:
+            return None  # DC scan must be Ss=Se=0 (G.1.1.1.1)
+        is_dc = True
+    else:
+        if ns != 1 or se < ss or se > 63:
+            return None  # AC scans are single-component bands
+        is_dc = False
+    if al > 13 or ah > 13 or (ah and ah != al + 1):
+        return None
+    # huffman tables actually needed by this scan
+    tabs = []
+    for ci, dc_t, ac_t in scomps:
+        if is_dc and ah == 0:
+            if (0, dc_t) not in htables:
+                return None
+            tabs.append(htables[(0, dc_t)])
+        elif not is_dc:
+            if (1, ac_t) not in htables:
+                return None
+            tabs.append(htables[(1, ac_t)])
+        else:
+            tabs.append(None)  # DC refinement: raw bits, no table
+    bits = _JpegBits(b[data_start:])
+    preds = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+
+    def resync():
+        """Skip to and over the next RSTn; fresh reader, reset state."""
+        nonlocal bits, preds, eobrun
+        p = bits.pos
+        d = bits.data
+        while p + 1 < len(d) and not (
+            d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
+        ):
+            p += 1
+        if p + 1 >= len(d):
+            return False
+        nb = _JpegBits(b"")
+        nb.data = d
+        nb.pos = p + 2
+        bits = nb
+        preds = [0] * len(comps)
+        eobrun = 0
+        return True
+
+    def decode_dc_block(ci, si, by, bx) -> bool:
+        nonlocal eobrun
+        blk = coeffs[ci][by, bx]
+        if ah == 0:
+            t = bits.huff(tabs[si])
+            if t is None or t > 15:
+                return False
+            if t:
+                v = bits.read(t)
+                if v is None:
+                    return False
+                preds[ci] += _jpeg_extend(v, t)
+            blk[0] = preds[ci] << al
+        else:
+            bit = bits.read(1)
+            if bit is None:
+                return False
+            if bit:
+                # append one magnitude bit (two's complement |=, as for
+                # the C int16 coefficient buffer the spec assumes)
+                blk[0] = int(blk[0]) | p1
+        return True
+
+    def decode_ac_first(blk) -> bool:
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return True
+        k = ss
+        while k <= se:
+            rs = bits.huff(tabs[0])
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zero coefficients
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    e = bits.read(r)
+                    if e is None:
+                        return False
+                    eobrun += e
+                break
+            k += r
+            if k > se:
+                return False
+            v = bits.read(s)
+            if v is None:
+                return False
+            blk[k] = _jpeg_extend(v, s) << al
+            k += 1
+        return True
+
+    def refine_bit(blk, k) -> bool:
+        """Correction bit for an already-nonzero coefficient: move its
+        magnitude toward the next precision level if the bit is set."""
+        bit = bits.read(1)
+        if bit is None:
+            return False
+        if bit and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else -p1
+        return True
+
+    def decode_ac_refine(blk) -> bool:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = bits.huff(tabs[0])
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            e = bits.read(r)
+                            if e is None:
+                                return False
+                            eobrun += e
+                        break
+                    # r == 15: run over sixteen zero-history positions
+                else:
+                    if s != 1:
+                        return False  # refinement inserts only ±1
+                    bit = bits.read(1)
+                    if bit is None:
+                        return False
+                    val = p1 if bit else -p1
+                # advance over r zero-history positions, emitting
+                # correction bits for nonzero-history ones passed over
+                while k <= se:
+                    if blk[k] != 0:
+                        if not refine_bit(blk, k):
+                            return False
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if not refine_bit(blk, k):
+                        return False
+                k += 1
+            eobrun -= 1
+        return True
+
+    n_units = 0
+    if is_dc and ns > 1:
+        # interleaved MCU order (dummy blocks in the MCU padding ARE
+        # coded, exactly as in a baseline interleaved scan)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and n_units
+                    and n_units % restart_interval == 0
+                ):
+                    if not resync():
+                        return None
+                n_units += 1
+                for si, (ci, _dc_t, _ac_t) in enumerate(scomps):
+                    _, ch, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            if not decode_dc_block(
+                                ci, si, my * cv + by, mx * ch + bx
+                            ):
+                                return None
+    else:
+        # non-interleaved: the component's OWN block grid, NO MCU
+        # padding (T.81 A.2.2) — the restart unit is one block
+        ci = scomps[0][0]
+        _, ch, cv, _ = comps[ci]
+        comp_w = -(-width * ch // hmax)  # ceil(width * ch / hmax)
+        comp_h = -(-height * cv // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        blk_arr = coeffs[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                if (
+                    restart_interval
+                    and n_units
+                    and n_units % restart_interval == 0
+                ):
+                    if not resync():
+                        return None
+                n_units += 1
+                if is_dc:
+                    if not decode_dc_block(ci, 0, by, bx):
+                        return None
+                elif ah == 0:
+                    if not decode_ac_first(blk_arr[by, bx]):
+                        return None
+                else:
+                    if not decode_ac_refine(blk_arr[by, bx]):
+                        return None
+    # find the next marker after the entropy data (skip stuffing,
+    # stray RSTn, and 0xFF fill bytes)
+    p = data_start + bits.pos
+    while p + 1 < len(b):
+        if b[p] != 0xFF or b[p + 1] == 0x00:
+            p += 1
+        elif b[p + 1] == 0xFF:
+            p += 1
+        elif 0xD0 <= b[p + 1] <= 0xD7:
+            p += 2
+        else:
+            return p
+    return len(b)
 
 
 def pixel_features(pixels, num_features: int = 8) -> list[float]:
@@ -890,8 +1314,9 @@ def decode_image_pixels(b: bytes):
     """Stdlib-decodable formats → pixel array, else None.  Real decode
     now covers BMP (24-bit BI_RGB), binary PPM, 8-bit PNG — sequential
     or Adam7-interlaced (stdlib zlib), palette GIF incl. interlaced
-    (pure-Python LZW), AND baseline huffman JPEG (pure-Python entropy
-    decode + numpy IDCT); other codecs need an imaging library."""
+    (pure-Python LZW), AND huffman JPEG — baseline sequential OR
+    progressive (pure-Python entropy decode + numpy IDCT); other
+    codecs need an imaging library."""
     b = bytes(b)
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
@@ -909,10 +1334,11 @@ def media_feature_decoder(num_features: int = 8, real_decoder: bool = False):
 
     The REAL path (round-2 verdict ask #6, PNG per round-5 ask #6 +
     Adam7 per round-6 ask #4, GIF via pure-Python LZW, JPEG via
-    pure-Python huffman + numpy IDCT): BMP (24-bit BI_RGB), binary
+    pure-Python huffman + numpy IDCT — baseline AND progressive per
+    round-8 ask #6): BMP (24-bit BI_RGB), binary
     PPM, 8-bit PNG (sequential or Adam7-interlaced),
-    palette GIF (sequential or interlaced), and baseline huffman
-    JPEG payloads
+    palette GIF (sequential or interlaced), and huffman
+    JPEG payloads (sequential or progressive)
     are genuinely decoded — stdlib/numpy parse + pixel statistics
     (:func:`pixel_features`) — proving the decode→feature pipeline
     end-to-end without an imaging library.  Audio and video have their
@@ -942,7 +1368,7 @@ def media_feature_decoder(num_features: int = 8, real_decoder: bool = False):
                     raise NotImplementedError(
                         "payload is not a stdlib-decodable IMAGE format "
                         "(BMP/PPM/8-bit PNG incl. Adam7/palette GIF/"
-                        "baseline JPEG); "
+                        "huffman JPEG incl. progressive); "
                         "WAV audio / AVI video have their own real paths "
                         "(decode_wav_samples / decode_avi_frames); other "
                         "codecs need librosa/ffmpeg — not in this container"

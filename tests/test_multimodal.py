@@ -1011,3 +1011,417 @@ def test_gif_interlaced_decodes_same_as_sequential():
         seq = decode_gif_pixels(_gif_real(px))
         lace = decode_gif_pixels(_gif_real(px, interlace=True))
         assert lace is not None and np.array_equal(seq, lace), f"{h}x{w}"
+
+def _jpeg_prog_planes(pixels, gray, subsample):
+    """Shared plane prep for the progressive encoder: RGB→YCbCr,
+    optional 4:2:0 chroma subsampling, MCU-grid edge padding — the
+    same pixel math as :func:`_jpeg_real` so baseline and progressive
+    encodings of one image quantize to IDENTICAL coefficients."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    h, w = arr.shape[:2]
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if gray:
+        comps = [(y, 1, 1)]
+    elif subsample:
+        he, we = h + h % 2, w + w % 2
+        cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+        crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+        cb2 = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        cr2 = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        comps = [(y, 2, 2), (cb2, 1, 1), (cr2, 1, 1)]
+    else:
+        comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for plane, ch, cv in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        planes.append(
+            np.pad(
+                plane,
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge",
+            )
+        )
+    return h, w, comps, hmax, vmax, mcux, mcuy, planes
+
+
+def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes:
+    """Real PROGRESSIVE JPEG encoder for fixtures — T.81 Annex G:
+    spectral selection (interleaved DC scan, then per-component AC
+    bands) and, with ``approx=True``, successive approximation on top
+    (DC at Al=1 + one refinement scan; AC first scans at Al=2 followed
+    by refinement passes down to Al=0 — exercising EOB-run coding,
+    ZRL-in-refinement, sign bits, and buffered correction bits).  Unit
+    quantizers and per-scan minimal DHT tables, so with full
+    refinement the decoder must reproduce the baseline encoding of the
+    same pixels EXACTLY.  Pure Python+numpy, independent of the
+    decoder's internals."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        _ZIGZAG,
+        _idct_basis,
+    )
+
+    h, w, comps, hmax, vmax, mcux, mcuy, planes = _jpeg_prog_planes(
+        pixels, gray, subsample
+    )
+    basis = _idct_basis()
+    ncomp = len(comps)
+    # quantized zigzag coefficients over each component's PADDED grid
+    zzq = []
+    for ci, (_, ch, cv) in enumerate(comps):
+        bh, bw = mcuy * cv, mcux * ch
+        blocks = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = np.round(basis.T @ (blk - 128.0) @ basis).astype(np.int64)
+                blocks[by, bx] = [f[rc] for rc in _ZIGZAG]
+        zzq.append(blocks)
+
+    def real_grid(ci):
+        """Non-interleaved block grid: ceil(comp_dim/8), NO MCU pad."""
+        _, ch, cv = comps[ci]
+        comp_h = -(-h * cv // vmax)
+        comp_w = -(-w * ch // hmax)
+        return -(-comp_h // 8), -(-comp_w // 8)
+
+    def dc_first_events(al):
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, ch, cv) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            d = int(zzq[ci][my * cv + by, mx * ch + bx, 0]) >> al
+                            diff = d - preds[ci]
+                            preds[ci] = d
+                            sz = int(abs(diff)).bit_length()
+                            yield ("SYM", sz)
+                            if sz:
+                                v = diff if diff >= 0 else diff + (1 << sz) - 1
+                                yield ("BITS", v, sz)
+
+    def dc_refine_events(al):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, ch, cv) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bit = (int(zzq[ci][my * cv + by, mx * ch + bx, 0]) >> al) & 1
+                            yield ("BITS", bit, 1)
+
+    def ac_first_events(ci, ss, se, al):
+        bh, bw = real_grid(ci)
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                out = [("SYM", nb << 4)]
+                if nb:
+                    out.append(("BITS", eobrun - (1 << nb), nb))
+                eobrun = 0
+                return out
+            return []
+
+        for by in range(bh):
+            for bx in range(bw):
+                band = [int(zzq[ci][by, bx, k]) for k in range(ss, se + 1)]
+                t = [(1 if z > 0 else -1) * (abs(z) >> al) for z in band]
+                nz = [i for i, v in enumerate(t) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        yield from flush()
+                    continue
+                yield from flush()
+                run = 0
+                for k in range(nz[-1] + 1):
+                    if t[k] == 0:
+                        run += 1
+                        if run == 16:
+                            yield ("SYM", 0xF0)
+                            run = 0
+                        continue
+                    s = int(abs(t[k])).bit_length()
+                    v = t[k] if t[k] > 0 else t[k] + (1 << s) - 1
+                    yield ("SYM", (run << 4) | s)
+                    yield ("BITS", v, s)
+                    run = 0
+                if nz[-1] < len(t) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        yield from flush()
+        yield from flush()
+
+    def ac_refine_events(ci, ss, se, al):
+        bh, bw = real_grid(ci)
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                out = [("SYM", nb << 4)]
+                if nb:
+                    out.append(("BITS", eobrun - (1 << nb), nb))
+                out.extend(("BITS", bit, 1) for bit in be_bits)
+                be_bits.clear()
+                eobrun = 0
+                return out
+            return []
+
+        for by in range(bh):
+            for bx in range(bw):
+                band = [int(zzq[ci][by, bx, k]) for k in range(ss, se + 1)]
+                t = [abs(z) >> al for z in band]
+                eobpos = max((i for i, v in enumerate(t) if v == 1), default=-1)
+                run = 0
+                br: list[int] = []
+                for k, v in enumerate(t):
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobpos:
+                        yield from flush()
+                        yield ("SYM", 0xF0)
+                        run -= 16
+                        for bit in br:
+                            yield ("BITS", bit, 1)
+                        br = []
+                    if v > 1:
+                        br.append(v & 1)
+                        continue
+                    yield from flush()
+                    yield ("SYM", (run << 4) | 1)
+                    yield ("BITS", 1 if band[k] > 0 else 0, 1)
+                    for bit in br:
+                        yield ("BITS", bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    be_bits.extend(br)
+                    if eobrun == 0x7FFF:
+                        yield from flush()
+        yield from flush()
+
+    # ---- container ----
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes([0] + [1] * 64)
+    out += b"\xff\xdb" + (2 + len(qzz)).to_bytes(2, "big") + qzz
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+
+    def canon(syms):
+        ordered = sorted(syms)
+        L = 1
+        while (1 << L) - 1 < len(ordered):
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(ordered)
+        return counts, ordered, {s: (i, L) for i, s in enumerate(ordered)}
+
+    def emit_scan(events_fn, klass, scan_comps, ss, se, ah, al):
+        evs = list(events_fn())
+        syms = {e[1] for e in evs if e[0] == "SYM"}
+        code = {}
+        if syms:
+            counts, order, code = canon(syms)
+            payload = bytes([(klass << 4) | 0]) + bytes(counts) + bytes(order)
+            out.extend(b"\xff\xc4" + (2 + len(payload)).to_bytes(2, "big") + payload)
+        sos = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos)
+        acc, nbits, body = 0, 0, bytearray()
+
+        def put(v, n):
+            nonlocal acc, nbits
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nbits += n
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                body.append(byte)
+                if byte == 0xFF:
+                    body.append(0x00)
+                acc &= (1 << nbits) - 1
+
+        for ev in evs:
+            if ev[0] == "SYM":
+                c, L = code[ev[1]]
+                put(c, L)
+            else:
+                put(ev[1], ev[2])
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+        out.extend(body)
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    y_bands = [(1, 5), (6, 63)]
+    if approx:
+        emit_scan(lambda: dc_first_events(1), 0, all_ids, 0, 0, 0, 1)
+        for ci in range(ncomp):
+            for ss, se in (y_bands if ci == 0 else [(1, 63)]):
+                emit_scan(
+                    lambda ci=ci, ss=ss, se=se: ac_first_events(ci, ss, se, 2),
+                    1, [ci + 1], ss, se, 0, 2,
+                )
+        emit_scan(lambda: dc_refine_events(0), 0, all_ids, 0, 0, 1, 0)
+        for al in (1, 0):
+            for ci in range(ncomp):
+                for ss, se in (y_bands if ci == 0 else [(1, 63)]):
+                    emit_scan(
+                        lambda ci=ci, ss=ss, se=se, al=al: ac_refine_events(
+                            ci, ss, se, al
+                        ),
+                        1, [ci + 1], ss, se, al + 1, al,
+                    )
+    else:
+        emit_scan(lambda: dc_first_events(0), 0, all_ids, 0, 0, 0, 0)
+        for ci in range(ncomp):
+            for ss, se in (y_bands if ci == 0 else [(1, 63)]):
+                emit_scan(
+                    lambda ci=ci, ss=ss, se=se: ac_first_events(ci, ss, se, 0),
+                    1, [ci + 1], ss, se, 0, 0,
+                )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_spectral_equals_baseline():
+    """Spectral-selection-only progressive (Al=0 everywhere) must
+    decode to EXACTLY the pixels of the baseline encoding of the same
+    image: identical quantized coefficients, identical IDCT tail."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    grad = [
+        [(x * 10 % 256, y * 13 % 256, (x * 7 + y * 3) % 256) for x in range(23)]
+        for y in range(17)
+    ]
+    base = decode_jpeg_pixels(_jpeg_real(grad))
+    prog = decode_jpeg_pixels(_jpeg_progressive(grad, approx=False))
+    assert prog is not None and prog.shape == (17, 23, 3)
+    assert np.array_equal(base, prog)
+    err = np.abs(prog.astype(np.int64) - np.asarray(grad))
+    assert int(err.max()) <= 2
+
+
+def test_jpeg_progressive_successive_approx_exact():
+    """Successive approximation refined all the way to Al=0 (DC 1→0,
+    AC 2→1→0) reconstructs the SAME coefficients as the one-shot
+    baseline scan — sign bits, EOB runs, ZRL-in-refinement and
+    buffered correction bits all land where the decoder expects."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    grad = [
+        [(x * 10 % 256, y * 13 % 256, (x * 7 + y * 3) % 256) for x in range(23)]
+        for y in range(17)
+    ]
+    base = decode_jpeg_pixels(_jpeg_real(grad))
+    prog = decode_jpeg_pixels(_jpeg_progressive(grad, approx=True))
+    assert prog is not None and np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_eob_runs_across_blocks():
+    """A mostly-flat image with one detailed corner: most blocks have
+    all-zero AC bands, so EOB runs span many blocks (the >1-block
+    EOBRUN path, plus correction-bit buffering across the run in the
+    refinement scans)."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    px = [[(90, 140, 60) for _ in range(32)] for _ in range(32)]
+    px[2][3] = (255, 255, 255)
+    px[30][29] = (0, 0, 0)
+    for approx in (False, True):
+        base = decode_jpeg_pixels(_jpeg_real(px))
+        prog = decode_jpeg_pixels(_jpeg_progressive(px, approx=approx))
+        assert prog is not None and np.array_equal(base, prog), approx
+
+
+def test_jpeg_progressive_subsampled_and_gray():
+    """4:2:0 at 24×24 makes the luma MCU grid (4×4 blocks) strictly
+    larger than its real block grid (3×3) — DC scans cover the padded
+    grid, AC scans only the real grid (T.81 A.2.2).  Grayscale takes
+    the single-component path."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    px = [
+        [((x * 11 + y) % 256, (y * 9 + 2 * x) % 256, (x * x + y) % 256) for x in range(24)]
+        for y in range(24)
+    ]
+    base = decode_jpeg_pixels(_jpeg_real(px, subsample=True))
+    prog = decode_jpeg_pixels(_jpeg_progressive(px, subsample=True, approx=True))
+    assert prog is not None and np.array_equal(base, prog)
+
+    flat = [[(77, 77, 77)] * 8 for _ in range(8)]
+    g = decode_jpeg_pixels(_jpeg_progressive(flat, gray=True, approx=True))
+    assert g is not None and np.unique(g).tolist() == [77]
+
+
+def test_jpeg_progressive_rejects_malformed():
+    """Truncation and illegal progression scripts land on None, never
+    a crash — and the real-decoder Spark path accepts a progressive
+    payload end-to-end (same features as the BMP of the same pixels,
+    since unit-quantizer DC-only blocks round-trip exactly)."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    grad = [[(x * 16 % 256, 0, y * 16 % 256) for x in range(16)] for y in range(16)]
+    good = _jpeg_progressive(grad)
+    assert decode_jpeg_pixels(good) is not None
+    assert decode_jpeg_pixels(good[:60]) is None  # truncated mid-stream
+    # no scans at all: SOI + DQT + SOF2 + EOI
+    sof_end = good.index(b"\xff\xc4")
+    assert decode_jpeg_pixels(good[:sof_end] + b"\xff\xd9") is None
+
+
+def test_jpeg_progressive_spark_features(spark):
+    """Progressive payload through the Spark real-decoder feature
+    pipeline: constant-color 4:2:0 progressive JPEG yields features
+    identical to the BMP of the same pixels (exact DC-only round
+    trip), proving decode_jpeg_progressive_pixels is wired into
+    mapInPandas end-to-end."""
+    flat = [[(120, 64, 200)] * 16 for _ in range(16)]
+    jp = _jpeg_progressive(flat, subsample=True, approx=True)
+    df = spark.createDataFrame(
+        [(1, jp), (2, _bmp(flat))], "media_id long, payload binary"
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_features(df, num_features=8, real_decoder=True).collect()
+    }
+    assert rows[1].features == rows[2].features
