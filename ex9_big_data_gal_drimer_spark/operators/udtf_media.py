@@ -119,6 +119,232 @@ class PngChunkWalk:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic JPEG synthesis (grayscale, flat unit quantizer) for the
+# media decode-parity corpus: the SAME quantized DCT coefficients emitted
+# either as a baseline (SOF0) or a progressive (SOF2, spectral selection +
+# DC successive approximation) stream, so the two containers decode to
+# IDENTICAL pixels despite JPEG being lossy — the decode-parity invariant
+# media_jpeg_decode_parity audits.  Kept deliberately smaller than the
+# independent test encoder (tests/test_multimodal.py `_jpeg_progressive`:
+# color, 4:2:0, AC successive approximation), which remains the decoder's
+# correctness pin; this one only has to PRODUCE spec-valid corpus files.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _jpeg_gray_zzq(width: int, height: int, body: bytes):
+    """Tile ``body`` into a width×height grayscale image (the same
+    tiling contract as :func:`make_png_rgb`) and return its unit-
+    quantized zigzag DCT coefficients as an int list per 8×8 block,
+    blocks in raster order over the edge-padded grid."""
+    import numpy as np
+
+    need = width * height
+    src = body or b"\x00"
+    pix = (
+        np.frombuffer((src * (need // len(src) + 1))[:need], dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(height, width)
+    )
+    bh, bw = -(-height // 8), -(-width // 8)
+    padded = np.pad(pix, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    k = np.arange(8)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+        k[:, None] == 0, (1 / 8) ** 0.5, (2 / 8) ** 0.5
+    )
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            f = np.round(basis @ blk @ basis.T).astype(np.int64)
+            blocks.append([int(f[rc]) for rc in _JPEG_ZIGZAG])
+    return bh, bw, blocks
+
+
+def _jpeg_canon(symbols):
+    """Canonical single-length Huffman table over the scan's symbol
+    set: all codes one length L with 2**L > n, so the all-ones code
+    stays unused as T.81 requires."""
+    ordered = sorted(set(symbols))
+    length = max(1, len(ordered).bit_length())
+    counts = [0] * 16
+    counts[length - 1] = len(ordered)
+    return counts, ordered, {s: (i, length) for i, s in enumerate(ordered)}
+
+
+def _jpeg_emit_scan(out: bytearray, events, klass: int, ss: int, se: int,
+                    ah: int, al: int) -> None:
+    """Append one DHT + SOS + entropy-coded segment for a single-
+    component scan; ``events`` is a sequence of ("SYM", s) huffman
+    symbols and ("BITS", v, n) raw appended bits."""
+    evs = list(events)
+    code = {}
+    syms = {e[1] for e in evs if e[0] == "SYM"}
+    if syms:
+        counts, order, code = _jpeg_canon(syms)
+        payload = bytes([klass << 4]) + bytes(counts) + bytes(order)
+        out.extend(b"\xff\xc4" + (2 + len(payload)).to_bytes(2, "big") + payload)
+    sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+    out.extend(b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos)
+    _jpeg_pack_bits(
+        out, (code[e[1]] if e[0] == "SYM" else (e[1], e[2]) for e in evs)
+    )
+
+
+def _jpeg_pack_bits(out: bytearray, items) -> None:
+    """Pack (value, nbits) pairs MSB-first with 0xFF byte stuffing,
+    padding the final byte with 1-bits per T.81 B.1.1.5."""
+    acc = nbits = 0
+    for v, n in items:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            acc &= (1 << nbits) - 1
+    if nbits:
+        byte = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:  # stuffing applies to the padded tail byte too
+            out.append(0x00)
+
+
+def _jpeg_dc_events(blocks, al: int):
+    """DC scan events at point transform ``al`` (size symbol + extend
+    bits of the prediction difference over arithmetic-shifted values)."""
+    pred = 0
+    for zz in blocks:
+        d = zz[0] >> al
+        diff, pred = d - pred, d
+        size = abs(diff).bit_length()
+        yield ("SYM", size)
+        if size:
+            yield ("BITS", diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _jpeg_ac_events(blocks, ss: int, se: int):
+    """AC band scan events at Al=0: run/size symbols with ZRL, and
+    EOB runs accumulated ACROSS blocks (progressive EOBn coding;
+    baseline callers pass one block at a time so runs never exceed 1)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            yield ("SYM", nb << 4)
+            if nb:
+                yield ("BITS", eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                yield from flush()
+            continue
+        yield from flush()
+        run = 0
+        for k in range(nz[-1] + 1):
+            if band[k] == 0:
+                run += 1
+                if run == 16:
+                    yield ("SYM", 0xF0)
+                    run = 0
+                continue
+            size = abs(band[k]).bit_length()
+            yield ("SYM", (run << 4) | size)
+            yield ("BITS", band[k] if band[k] > 0 else band[k] + (1 << size) - 1,
+                   size)
+            run = 0
+        if nz[-1] < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                yield from flush()
+    yield from flush()
+
+
+def make_jpeg_gray(width: int, height: int, body: bytes,
+                   progressive: bool = False) -> bytes:
+    """Deterministic VALID grayscale JPEG whose unit-quantized DCT
+    coefficients come from ``body`` tiled to width×height pixels.
+    ``progressive=False`` emits a baseline SOF0 single-scan stream;
+    ``progressive=True`` emits an SOF2 stream — interleaved DC first
+    scan at Al=1, AC spectral-selection bands 1–5 and 6–63 at Al=0
+    (with cross-block EOB runs), then the DC refinement scan — from
+    the SAME coefficients, so both decode to identical pixels."""
+    _, _, blocks = _jpeg_gray_zzq(width, height, body)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0] + [1] * 64)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + (2 + len(sof)).to_bytes(2, "big") + sof
+    if progressive:
+        _jpeg_emit_scan(out, _jpeg_dc_events(blocks, 1), 0, 0, 0, 0, 1)
+        _jpeg_emit_scan(out, _jpeg_ac_events(blocks, 1, 5), 1, 1, 5, 0, 0)
+        _jpeg_emit_scan(out, _jpeg_ac_events(blocks, 6, 63), 1, 6, 63, 0, 0)
+        _jpeg_emit_scan(
+            out,
+            (("BITS", zz[0] & 1, 1) for zz in blocks),
+            0, 0, 0, 1, 0,
+        )
+    else:
+        def interleaved():
+            pred = 0
+            for zz in blocks:
+                d = zz[0]
+                diff, pred = d - pred, d
+                size = abs(diff).bit_length()
+                yield ("SYM", 0, size)
+                if size:
+                    yield ("BITS",
+                           diff if diff >= 0 else diff + (1 << size) - 1, size)
+                for ev in _jpeg_ac_events([zz], 1, 63):
+                    yield ("SYM", 1, ev[1]) if ev[0] == "SYM" else ev
+        _jpeg_emit_baseline(out, interleaved())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_emit_baseline(out: bytearray, events) -> None:
+    """Append the two baseline DHTs (DC class 0 + AC class 1, both
+    table id 0) and the single SOF0 scan; ``events`` tags each symbol
+    with its table class: ("SYM", klass, s) / ("BITS", v, n)."""
+    evs = list(events)
+    codes = {}
+    for klass in (0, 1):
+        syms = {e[2] for e in evs if e[0] == "SYM" and e[1] == klass}
+        if not syms:
+            continue
+        counts, order, code = _jpeg_canon(syms)
+        payload = bytes([(klass << 4)]) + bytes(counts) + bytes(order)
+        out.extend(b"\xff\xc4" + (2 + len(payload)).to_bytes(2, "big") + payload)
+        codes[klass] = code
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out.extend(b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos)
+    _jpeg_pack_bits(
+        out,
+        (codes[e[1]][e[2]] if e[0] == "SYM" else (e[1], e[2]) for e in evs),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Polymorphic UDTF (Spark 4 `analyze`): output schema computed from the
 # call's CONSTANT arguments at plan time.
 # ---------------------------------------------------------------------------

@@ -1425,3 +1425,62 @@ def test_jpeg_progressive_spark_features(spark):
         for r in extract_features(df, num_features=8, real_decoder=True).collect()
     }
     assert rows[1].features == rows[2].features
+
+def test_make_jpeg_gray_baseline_progressive_parity():
+    """The package corpus encoder (udtf_media.make_jpeg_gray) emits the
+    SAME quantized coefficients as baseline SOF0 and progressive SOF2
+    streams, so the two DIFFERENT decode paths must produce identical
+    pixels — including non-multiple-of-8 dims (edge padding) and the
+    empty-body fallback.  This is the invariant the registry query
+    media_jpeg_decode_parity audits over the documents corpus."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        make_jpeg_gray,
+    )
+
+    for body in [b"parity body text", bytes(range(256)), b"", b"\xff" * 9]:
+        for w, h in [(8, 8), (12, 10), (9, 17), (24, 16)]:
+            base = decode_jpeg_pixels(make_jpeg_gray(w, h, body))
+            prog = decode_jpeg_pixels(
+                make_jpeg_gray(w, h, body, progressive=True)
+            )
+            assert base is not None and prog is not None
+            ab, ap = np.asarray(base), np.asarray(prog)
+            assert ab.shape[:2] == (h, w)
+            assert np.array_equal(ab, ap)
+
+
+def test_make_jpeg_gray_streams_are_really_distinct():
+    """Guard against the parity test passing vacuously: the two
+    containers must carry distinct frame markers (SOF0 vs SOF2), the
+    progressive stream must hold FOUR scans (DC first, two AC bands,
+    DC refinement) against the baseline's one, and the progressive
+    stream must NOT decode via a baseline-only walk (relabeling it
+    SOF0 yields a corrupt stream, not the same image)."""
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        make_jpeg_gray,
+    )
+
+    body = b"distinct-stream guard"
+    base = make_jpeg_gray(16, 16, body)
+    prog = make_jpeg_gray(16, 16, body, progressive=True)
+    assert b"\xff\xc0" in base and b"\xff\xc2" not in base
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert base.count(b"\xff\xda") == 1
+    assert prog.count(b"\xff\xda") == 4
+
+
+def test_media_jpeg_decode_parity_query(spark):
+    """Registry query end-to-end at sf0.001: every document's baseline
+    and progressive encodings decode to identical feature vectors."""
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    row = QUERIES["media_jpeg_decode_parity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.n_images > 0
+    assert row.n_mismatched == 0
