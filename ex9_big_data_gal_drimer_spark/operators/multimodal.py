@@ -1500,13 +1500,16 @@ def payload_stats_arrow(
 
 
 def decode_wav_samples(b: bytes):
-    """Decode a PCM RIFF/WAVE payload to ``(mono_float64, sample_rate)``
+    """Decode a RIFF/WAVE payload to ``(mono_float64, sample_rate)``
     — robust chunk walk (fmt/data in any order, extra chunks skipped),
-    8-bit unsigned and 16-bit signed PCM (format tag 1), any channel
-    count mixed to mono by mean.  Pure stdlib+numpy; returns None for
-    compressed codecs (MP3/AAC/IEEE-float/ADPCM), truncated chunks, or
-    non-RIFF payloads — those stay on the stub/raise tier, the same
-    contract as the image decoders.  Samples are scaled to [-1, 1]."""
+    any channel count mixed to mono by mean.  Codecs: 8-bit unsigned /
+    16-bit signed PCM (format tag 1), IEEE float 32/64-bit (tag 3),
+    G.711 A-law (tag 6) and µ-law (tag 7) companded 8-bit — the ITU
+    G.711 segment expansions, vectorized over the byte buffer.  Pure
+    stdlib+numpy; returns None for compressed codecs (MP3/AAC/ADPCM),
+    truncated chunks, or non-RIFF payloads — those stay on the
+    stub/raise tier, the same contract as the image decoders.
+    Samples are scaled to [-1, 1]."""
     import numpy as np
 
     b = bytes(b)
@@ -1536,14 +1539,42 @@ def decode_wav_samples(b: bytes):
     if fmt is None or data is None:
         return None
     tag, channels, rate, bits = fmt
-    if tag != 1 or channels < 1 or rate <= 0:
-        return None  # compressed / float codecs: stub tier
-    if bits == 16:
+    if tag not in (1, 3, 6, 7) or channels < 1 or rate <= 0:
+        return None  # compressed codecs (MP3/AAC/ADPCM): stub tier
+    if tag == 1 and bits == 16:
         n = len(data) // (2 * channels) * channels
         x = np.frombuffer(data, "<i2", count=n).astype(np.float64) / 32768.0
-    elif bits == 8:
+    elif tag == 1 and bits == 8:
         n = len(data) // channels * channels
         x = (np.frombuffer(data, np.uint8, count=n).astype(np.float64) - 128.0) / 128.0
+    elif tag == 3 and bits in (32, 64):
+        step = bits // 8
+        n = len(data) // (step * channels) * channels
+        x = np.frombuffer(
+            data, "<f4" if bits == 32 else "<f8", count=n
+        ).astype(np.float64)
+    elif tag == 7 and bits == 8:
+        # G.711 µ-law segment expansion (16-bit scaling, max ±32124):
+        # complement, then magnitude = ((mantissa<<3)+BIAS)<<exponent.
+        n = len(data) // channels * channels
+        u = (~np.frombuffer(data, np.uint8, count=n)) & 0xFF
+        mag = (((u & 0x0F).astype(np.int32) << 3) + 0x84) << ((u >> 4) & 7)
+        x = np.where(u & 0x80, 0x84 - mag, mag - 0x84) / 32768.0
+    elif tag == 6 and bits == 8:
+        # G.711 A-law segment expansion (max ±32256): XOR 0x55, then
+        # segment 0 is linear with a half-step offset; sign bit SET
+        # means positive in A-law (opposite of µ-law's complemented
+        # representation).
+        n = len(data) // channels * channels
+        a = np.frombuffer(data, np.uint8, count=n) ^ 0x55
+        seg = ((a & 0x70) >> 4).astype(np.int32)
+        m = (a & 0x0F).astype(np.int32)
+        mag = np.where(
+            seg == 0,
+            (m << 4) + 8,
+            ((m << 4) + 0x108) << np.maximum(seg - 1, 0),
+        )
+        x = np.where(a & 0x80, mag, -mag) / 32768.0
     else:
         return None
     if n == 0:
@@ -1612,7 +1643,8 @@ def extract_audio_features(
                     feats = audio_features(*dec)
                 elif real_decoder:
                     raise NotImplementedError(
-                        "payload is not PCM WAV; compressed audio needs "
+                        "payload is not a decodable WAV (PCM, IEEE float, "
+                        "or G.711 A-law/µ-law); compressed audio needs "
                         "librosa/ffmpeg — not in this container"
                     )
                 else:

