@@ -138,6 +138,10 @@ _DRIVER_PRIORITY: list[str] = [
 # welch_ttest_purchase_view per the r05 bank).  46 + 4 new fits
 # the 50-slot window exactly;
 # tools/preflight.py --check-vintage enforces the residue rule.
+# Changed-plan candidate for one of those 4 slots:
+# levenshtein_similar_parts — still the SCALING_sf1 ceiling (142 s,
+# exact pair tier by construction); any blocking tighten (length
+# buckets, second block key) must be re-seated when it lands.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every
