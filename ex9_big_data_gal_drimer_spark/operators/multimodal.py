@@ -632,6 +632,23 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_skip_to_restart(bits: _JpegBits):
+    """Advance past the next RSTn (FF D0–D7) in the entropy stream and
+    return a fresh byte-aligned reader over the SAME buffer, or None if
+    no restart marker remains — the one restart-resync walk both the
+    baseline and progressive decoders share (the caller resets its DC
+    predictors / EOB run)."""
+    p, d = bits.pos, bits.data
+    while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+        p += 1
+    if p + 1 >= len(d):
+        return None
+    fresh = _JpegBits(b"")  # reuse the buffer, no tail copy
+    fresh.data = d
+    fresh.pos = p + 2
+    return fresh
+
+
 #: zigzag index k -> (row, col) of the 8x8 block, per spec order.
 _ZIGZAG = [
     (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
@@ -855,17 +872,10 @@ def decode_jpeg_pixels(b: bytes):
         for mx in range(mcus_x):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 # skip to and over the RSTn marker, reset DC predictors
-                p = bits.pos
-                d = bits.data
-                while p + 1 < len(d) and not (
-                    d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
-                ):
-                    p += 1
-                if p + 1 >= len(d):
+                fresh = _jpeg_skip_to_restart(bits)
+                if fresh is None:
                     return None
-                bits = _JpegBits(b"")  # reuse the buffer, no tail copy
-                bits.data = d
-                bits.pos = p + 2
+                bits = fresh
                 preds = [0] * len(comps)
             n_mcu += 1
             for ci, (cid, ch, cv, tq) in enumerate(comps):
@@ -947,6 +957,8 @@ def decode_jpeg_progressive_pixels(b: bytes):
             return None
         while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
             pos += 1  # legal fill bytes before the marker (T.81 B.1.1.2)
+        if pos + 2 > len(b):
+            return None  # stream ends inside trailing fill bytes
         marker = b[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -1013,8 +1025,12 @@ def decode_jpeg_progressive_pixels(b: bytes):
         blk = np.zeros(zz.shape[:2] + (8, 8))
         for k, (r, c) in enumerate(_ZIGZAG):
             blk[:, :, r, c] = zz[:, :, k] * q8[r, c]
-        # spatial = M @ F @ M.T for every block at once
-        spatial = np.einsum("ij,yxjk,lk->yxil", basis, blk, basis) + 128.0
+        # spatial = M @ F @ M.T for every block at once — batched
+        # matmul, NOT einsum, so the float contraction order is the
+        # same kernel the baseline decoder uses per block and the
+        # baseline≡progressive parity cannot drift by a ulp across
+        # BLAS backends (round-9 review)
+        spatial = basis @ blk @ basis.T + 128.0
         planes.append(
             spatial.transpose(0, 2, 1, 3).reshape(
                 zz.shape[0] * 8, zz.shape[1] * 8
@@ -1092,18 +1108,10 @@ def _jpeg_progressive_scan(
     def resync():
         """Skip to and over the next RSTn; fresh reader, reset state."""
         nonlocal bits, preds, eobrun
-        p = bits.pos
-        d = bits.data
-        while p + 1 < len(d) and not (
-            d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
-        ):
-            p += 1
-        if p + 1 >= len(d):
+        fresh = _jpeg_skip_to_restart(bits)
+        if fresh is None:
             return False
-        nb = _JpegBits(b"")
-        nb.data = d
-        nb.pos = p + 2
-        bits = nb
+        bits = fresh
         preds = [0] * len(comps)
         eobrun = 0
         return True

@@ -130,24 +130,16 @@ class PngChunkWalk:
 # correctness pin; this one only has to PRODUCE spec-valid corpus files.
 # ---------------------------------------------------------------------------
 
-_JPEG_ZIGZAG = [
-    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
-    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
-    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
-    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
-    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
-    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
-    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
-    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
-]
-
-
 def _jpeg_gray_zzq(width: int, height: int, body: bytes):
     """Tile ``body`` into a width×height grayscale image (the same
     tiling contract as :func:`make_png_rgb`) and return its unit-
     quantized zigzag DCT coefficients as an int list per 8×8 block,
     blocks in raster order over the edge-padded grid."""
     import numpy as np
+
+    # the decoder's zigzag table IS the spec table — share it so the
+    # encoder/decoder pair cannot drift (round-9 review)
+    from .multimodal import _ZIGZAG
 
     need = width * height
     src = body or b"\x00"
@@ -167,7 +159,7 @@ def _jpeg_gray_zzq(width: int, height: int, body: bytes):
         for bx in range(bw):
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             f = np.round(basis @ blk @ basis.T).astype(np.int64)
-            blocks.append([int(f[rc]) for rc in _JPEG_ZIGZAG])
+            blocks.append([int(f[rc]) for rc in _ZIGZAG])
     return bh, bw, blocks
 
 
@@ -342,6 +334,26 @@ def _jpeg_emit_baseline(out: bytearray, events) -> None:
         out,
         (codes[e[1]][e[2]] if e[0] == "SYM" else (e[1], e[2]) for e in evs),
     )
+
+
+def make_wav(tag: int, bits: int, data: bytes, rate: int = 8000,
+             channels: int = 1) -> bytes:
+    """Minimal spec-conformant RIFF/WAVE container around raw codec
+    bytes (canonical fmt chunk + data chunk) — the ONE WAV byte layout
+    every corpus synthesizer shares, so a header fix reaches all of
+    them (round-9 review)."""
+    block = max(1, channels * bits // 8)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + tag.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def g711_compress(samples16, law: str) -> bytes:

@@ -125,7 +125,8 @@ _DRIVER_PRIORITY: list[str] = [
 # (checked below).  Every other query rides on banked green rows
 # (CORRECTNESS_r01-r08) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-9 window freeze: registry 221 queries / 195 oracles, all
+# round-9 window freeze: registry 223 queries / 195 oracles (the 2
+# round-9 additions are rows-only media audits, never seated), all
 # 195 banked green; vintages after CORRECTNESS_r08: 49×r04, 46×r05,
 # 50×r06, 50×r08 (the r08 bank re-verified the round-7 window).
 # After CORRECTNESS_r09 banks this window, no row is older than r05

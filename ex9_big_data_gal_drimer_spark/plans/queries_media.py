@@ -267,24 +267,15 @@ def _text_to_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Each doc's text bytes ARE the waveform: tiled to 2000 samples
     of 8-bit unsigned mono PCM at 8 kHz inside a canonical RIFF/WAVE
     container — a real, spec-conformant audio file per doc."""
+    from ..operators.udtf_media import make_wav
+
     n_samples = 2000
     for pdf in batches:
         payloads = []
         for t in pdf["text"]:
             raw = (t or " ").encode("utf-8", "replace")
             data = (raw * (n_samples // len(raw) + 1))[:n_samples]
-            fmt = (
-                b"fmt " + (16).to_bytes(4, "little")
-                + (1).to_bytes(2, "little")      # PCM
-                + (1).to_bytes(2, "little")      # mono
-                + (8000).to_bytes(4, "little")   # sample rate
-                + (8000).to_bytes(4, "little")   # byte rate
-                + (1).to_bytes(2, "little")      # block align
-                + (8).to_bytes(2, "little")      # bits per sample
-            )
-            data_chunk = b"data" + len(data).to_bytes(4, "little") + data
-            body = b"WAVE" + fmt + data_chunk
-            payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            payloads.append(make_wav(1, 8, data))
         yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -404,31 +395,18 @@ def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     Text bytes are the waveform, recentred to int16 scale."""
     import numpy as np
 
-    from ..operators.udtf_media import g711_compress
+    from ..operators.udtf_media import g711_compress, make_wav
 
     n_samples = 2000
-
-    def container(tag, bits, data, rate=8000):
-        block = max(1, bits // 8)
-        fmt = (
-            b"fmt " + (16).to_bytes(4, "little")
-            + tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
-            + rate.to_bytes(4, "little")
-            + (rate * block).to_bytes(4, "little")
-            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
-        )
-        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
-        return b"RIFF" + len(body).to_bytes(4, "little") + body
-
     for pdf in batches:
         pcms, ulaws, alaws = [], [], []
         for t in pdf["text"]:
             raw = (t or " ").encode("utf-8", "replace")
             tiled = (raw * (n_samples // len(raw) + 1))[:n_samples]
             x16 = (np.frombuffer(tiled, np.uint8).astype(np.int64) - 128) * 256
-            pcms.append(container(1, 16, x16.astype("<i2").tobytes()))
-            ulaws.append(container(7, 8, g711_compress(x16, "ulaw")))
-            alaws.append(container(6, 8, g711_compress(x16, "alaw")))
+            pcms.append(make_wav(1, 16, x16.astype("<i2").tobytes()))
+            ulaws.append(make_wav(7, 8, g711_compress(x16, "ulaw")))
+            alaws.append(make_wav(6, 8, g711_compress(x16, "alaw")))
         yield pd.DataFrame(
             {"media_id": pdf["doc_id"], "pcm": pcms, "ulaw": ulaws, "alaw": alaws}
         )

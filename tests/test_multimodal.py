@@ -1655,3 +1655,27 @@ def test_audio_codec_transparency_query(spark):
     assert row.n_ulaw_over_bound == 0 and row.n_alaw_over_bound == 0
     assert 0 < row.max_ulaw_dev <= 1024.0 / 32768.0
     assert 0 < row.max_alaw_dev <= 1024.0 / 32768.0
+
+def test_jpeg_progressive_trailing_fill_bytes_return_none():
+    """A progressive stream truncated inside trailing 0xFF fill bytes
+    must land on None (the stub tier), never IndexError — the
+    fill-skip loop can consume up to the final byte (round-9 review)."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        make_jpeg_gray,
+    )
+
+    import numpy as np
+
+    prog = make_jpeg_gray(8, 8, b"fill-byte regression", progressive=True)
+    sof_end = prog.index(b"\xff\xc4")
+    assert decode_jpeg_pixels(prog[:sof_end] + b"\xff\xff") is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xff") is None
+    # all scans present but EOI replaced by fill bytes: decodes (the
+    # stream is complete), and to the SAME pixels as the intact file
+    assert np.array_equal(
+        np.asarray(decode_jpeg_pixels(prog[:-2] + b"\xff\xff\xff")),
+        np.asarray(decode_jpeg_pixels(prog)),
+    )
