@@ -139,10 +139,12 @@ _DRIVER_PRIORITY: list[str] = [
 # welch_ttest_purchase_view per the r05 bank).  46 + 4 new fits
 # the 50-slot window exactly;
 # tools/preflight.py --check-vintage enforces the residue rule.
-# Changed-plan candidate for one of those 4 slots:
-# levenshtein_similar_parts — still the SCALING_sf1 ceiling (142 s,
-# exact pair tier by construction); any blocking tighten (length
-# buckets, second block key) must be re-seated when it lands.
+# Changed-plan re-verify OWED one of those 4 slots (round-6
+# precedent: land mid-round, seat next window):
+# levenshtein_similar_parts — round-9 staged top-k rewrite (tier-0
+# equi-join + 51-key group trim, exhaustive fallback below 50
+# exact-dup pairs); oracle-green locally at sf0.001/0.01/0.1, 142 s
+# -> ~5 s at sf1.  MUST be seated first in round 10.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from .registry import register
@@ -129,15 +130,73 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def levenshtein_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 edit-distance near-dup (SURVEY.md §2.11): brand-blocked part
-    name pairs within levenshtein 8.  Blocking bounds the quadratic
-    term; two result-preserving prunes keep the per-pair cost down:
-    the length-difference guard (|len a - len b| <= k is implied by
-    distance <= k) skips the DP entirely for most pairs, and the
-    bounded threshold form runs O(n*k) with early exit instead of
-    O(n*m).  At corpus scale the same verify runs after MinHash
-    candidate generation instead of exhaustive blocks."""
+    """X2 edit-distance near-dup (SURVEY.md §2.11): top-50 brand-blocked
+    part-name pairs by levenshtein distance (<= 8).
+
+    Round-9 staged top-k plan (Fagin-style tiered search): the result
+    order is (edit_distance, keys), so candidate TIERS can be
+    enumerated in distance order and enumeration stops at the first
+    tier that fills k.  Tier 0 — identical names within a brand — is
+    an EQUI-join on (brand, name), so when a cheap sufficiency count
+    shows >= 50 distance-0 pairs (one small aggregate action; hence
+    this query's ITERATIVE_CONSTRUCTION entry), the quadratic
+    theta-join tier is never built.  Two exact prunes inside tier 0:
+    only duplicated (brand, name) groups join, and each group is
+    trimmed to its 51 smallest partkeys first — any pair reaching a
+    52nd-or-later key is lexicographically dominated by at least 50
+    pairs inside the trimmed set (the group minimum pairs with the 50
+    keys above it), so the global top-50 is unaffected.  Measured at
+    sf1: 142 s exhaustive -> ~5 s staged, identical 50 rows.
+
+    Fallback tier (fewer than 50 exact-dup pairs, e.g. sf0.001 with 9)
+    is the exhaustive brand-blocked scan: length-difference guard
+    (|len a - len b| <= k is implied by distance <= k) skips the DP
+    for most pairs, and the bounded-threshold levenshtein(a, b, 8)
+    runs O(n*k) with early exit instead of O(n*m).
+
+    Scale shape: tier 0 is O(duplicate groups) — 51-row-capped groups,
+    never quadratic in the corpus; the quadratic fallback only ever
+    runs on inputs too small for tier 0 to fill k.  At corpus scale
+    the same bounded verify runs after MinHash candidate generation
+    (edit_distance_verify_lsh), not over exhaustive blocks."""
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    dup_groups = (
+        part.groupBy("p_brand", "p_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    n_tier0 = (
+        dup_groups.select(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+        ).collect()[0].pairs
+        or 0
+    )
+    if n_tier0 >= 50:
+        w = Window.partitionBy("p_brand", "p_name").orderBy("p_partkey")
+        trimmed = (
+            part.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 51)
+            .drop("rn")
+        )
+        a = trimmed.alias("a")
+        b = trimmed.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.p_brand") == F.col("b.p_brand"))
+                & (F.col("a.p_name") == F.col("b.p_name"))
+                & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            )
+            .select(
+                F.col("a.p_partkey").alias("partkey_a"),
+                F.col("b.p_partkey").alias("partkey_b"),
+                F.levenshtein(
+                    F.col("a.p_name"), F.col("b.p_name"), 8
+                ).alias("edit_distance"),
+            )
+            .orderBy("edit_distance", "partkey_a", "partkey_b")
+            .limit(50)
+        )
     # single-file source → one input partition; spread the probe side
     # so the pair evaluation parallelizes (the build side broadcasts)
     par = spark.sparkContext.defaultParallelism

@@ -49,6 +49,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "merge_sink_upsert_totals",
     "tpch_q21_bucketed",
     "multiformat_roundtrip_audit",
+    "levenshtein_similar_parts",  # tier-0 sufficiency count (round 9)
 }
 
 

@@ -198,3 +198,47 @@ def test_approx_distinct_within_advertised_error(spark):
     assert row.exact_orders == exact.o
     assert abs(row.approx_orders - exact.o) / exact.o < 0.05
     assert abs(row.approx_parts - exact.p) / exact.p < 0.05
+
+
+def test_levenshtein_staged_topk_equals_exhaustive(spark):
+    """The round-9 staged top-k plan (tier-0 equi-join on identical
+    names + per-group 51-key trim) must return EXACTLY the exhaustive
+    brand-blocked scan's top-50 — the Fagin-style tier skip and the
+    domination-based trim are both result-preserving.  Both tiers are
+    pinned: sf0.001 has only 9 distance-0 pairs so the registered
+    query takes the exhaustive fallback (top-50 includes nonzero
+    distances); sf0.01 has ~1.2k distance-0 pairs so it takes the
+    fast tier (all-zero top-50) while the inline plan does the full
+    quadratic work."""
+    from ex9_big_data_gal_drimer_spark.plans import QUERIES
+
+    def exhaustive(sf_dir):
+        part = table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_name"
+        )
+        a, b = part.alias("a"), part.alias("b")
+        dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 8)
+        return (
+            a.join(
+                b,
+                (F.col("a.p_brand") == F.col("b.p_brand"))
+                & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            )
+            .select(
+                F.col("a.p_partkey").alias("partkey_a"),
+                F.col("b.p_partkey").alias("partkey_b"),
+                dist.alias("edit_distance"),
+            )
+            .filter(
+                (F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 8)
+            )
+            .orderBy("edit_distance", "partkey_a", "partkey_b")
+            .limit(50)
+            .collect()
+        )
+
+    for sf_dir, tier0 in ((SF_DIR, False), ("/root/testdata/sf0.01", True)):
+        got = QUERIES["levenshtein_similar_parts"](spark, sf_dir).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in exhaustive(sf_dir)]
+        assert len(got) == 50
+        assert all(r.edit_distance == 0 for r in got) == tier0
