@@ -1558,9 +1558,15 @@ def decode_wav_samples(b: bytes):
     elif tag == 3 and bits in (32, 64):
         step = bits // 8
         n = len(data) // (step * channels) * channels
-        x = np.frombuffer(
-            data, "<f4" if bits == 32 else "<f8", count=n
-        ).astype(np.float64)
+        # clip to the nominal float range so the [-1, 1] contract all
+        # other tiers honor holds for over-unity masters too
+        x = np.clip(
+            np.frombuffer(
+                data, "<f4" if bits == 32 else "<f8", count=n
+            ).astype(np.float64),
+            -1.0,
+            1.0,
+        )
     elif tag == 7 and bits == 8:
         # G.711 µ-law segment expansion (16-bit scaling, max ±32124):
         # complement, then magnitude = ((mantissa<<3)+BIAS)<<exponent.

@@ -144,7 +144,7 @@ _DRIVER_PRIORITY: list[str] = [
 # levenshtein_similar_parts — round-9 staged top-k rewrite (tier-0
 # equi-join + 51-key group trim, exhaustive fallback below 50
 # exact-dup pairs); oracle-green locally at sf0.001/0.01/0.1, 142 s
-# -> ~5 s at sf1.  MUST be seated first in round 10.
+# -> 1.5 s at sf1 (warm bench; ~5 s cold).  MUST be seated first in round 10.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every

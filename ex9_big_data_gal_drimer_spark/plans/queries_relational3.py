@@ -146,7 +146,8 @@ def levenshtein_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     52nd-or-later key is lexicographically dominated by at least 50
     pairs inside the trimmed set (the group minimum pairs with the 50
     keys above it), so the global top-50 is unaffected.  Measured at
-    sf1: 142 s exhaustive -> ~5 s staged, identical 50 rows.
+    sf1: 142 s exhaustive -> 1.5 s staged under bench conditions
+    (warm cache; ~5 s with a cold session scan), identical 50 rows.
 
     Fallback tier (fewer than 50 exact-dup pairs, e.g. sf0.001 with 9)
     is the exhaustive brand-blocked scan: length-difference guard

@@ -1600,6 +1600,10 @@ def test_wav_ieee_float_and_reject_tiers():
     x64, _ = decode_wav_samples(_wav_container(3, 64, f64))
     assert np.array_equal(x32, np.array(vals))
     assert np.array_equal(x64, np.array(vals))
+    # over-unity masters clip to the [-1, 1] contract every tier honors
+    hot = b"".join(struct.pack("<f", v) for v in [4.0, -3.5, 0.5])
+    xh, _ = decode_wav_samples(_wav_container(3, 32, hot))
+    assert np.array_equal(xh, np.array([1.0, -1.0, 0.5]))
     assert decode_wav_samples(_wav_container(2, 4, b"\x00" * 64)) is None
     assert decode_wav_samples(_wav_container(3, 16, f32)) is None
     assert decode_wav_samples(_wav_container(6, 16, f32)) is None
