@@ -41,15 +41,26 @@ from ex9_big_data_gal_drimer_spark.plans import QUERIES
 from ex9_big_data_gal_drimer_spark.session import get_spark
 
 
-def _previous_bench(here: str) -> tuple[str, dict[str, float]] | None:
+def _previous_bench(
+    here: str, exclude: str | None = None
+) -> tuple[str, dict[str, float]] | None:
     """Newest committed bench numbers, for delta reporting: prefer the
     newest BENCH_FULL_r{N}.json (bench.py writes it with the COMPLETE
     per-query map), falling back to the newest driver BENCH_r{N}.json
     whose 2000-char stdout tail must be scraped (and whose truncation
     can silently produce bogus per-query baselines — the reason FULL
-    wins even for an older round number)."""
+    wins even for an older round number).
+
+    `exclude` is the path this run is about to (over)write: a rerun in
+    place must never pick its own first pass as the baseline, or the
+    delta map describes rN-vs-rN instead of rN-vs-r(N-1) — this bit
+    rounds 7 and 9 both."""
     fulls = []
     for path in glob.glob(os.path.join(here, "BENCH_FULL_r*.json")):
+        if exclude is not None and os.path.abspath(path) == os.path.abspath(
+            exclude
+        ):
+            continue
         m = re.search(r"BENCH_FULL_r(\d+)\.json$", path)
         if m:
             fulls.append((int(m.group(1)), path))
@@ -184,7 +195,22 @@ def main() -> int:
         "setup_seconds": setup_seconds,
     }
 
-    prev = _previous_bench(os.path.dirname(os.path.abspath(__file__)))
+    # The driver keeps only the tail of stdout, so round-N's per-query
+    # numbers would survive only as deltas inside the next round's file
+    # (round-2 verdict ask #2).  Persist the complete JSON in-repo too:
+    # BENCH_FULL_r{N}.json where N = newest driver BENCH_r*.json + 1
+    # (the round about to be recorded).  Overridable for local runs so
+    # iterating at sf0.01 never clobbers a round artifact.  The output
+    # path is resolved BEFORE the delta baseline so a rerun in place
+    # excludes its own first pass from the candidate set.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if full_path is None:
+        newest = _newest_round(here)
+        round_n = (newest[0] if newest else 0) + 1
+        full_path = os.path.join(here, f"BENCH_FULL_r{round_n:02d}.json")
+
+    prev = _previous_bench(here, exclude=full_path)
     if prev is not None:
         prev_name, prev_times = prev
         out["delta_vs_prev"] = {
@@ -196,18 +222,12 @@ def main() -> int:
             },
         }
 
-    # The driver keeps only the tail of stdout, so round-N's per-query
-    # numbers would survive only as deltas inside the next round's file
-    # (round-2 verdict ask #2).  Persist the complete JSON in-repo too:
-    # BENCH_FULL_r{N}.json where N = newest driver BENCH_r*.json + 1
-    # (the round about to be recorded).  Overridable for local runs so
-    # iterating at sf0.01 never clobbers a round artifact.
-    here = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
-    if full_path is None:
-        newest = _newest_round(here)
-        round_n = (newest[0] if newest else 0) + 1
-        full_path = os.path.join(here, f"BENCH_FULL_r{round_n:02d}.json")
+    # Snapshot the first pass before an in-place rerun overwrites it, so
+    # a contaminated rerun never silently destroys the clean numbers
+    # (round-9 "What's wrong" #1: the driver's gate run overwrote the
+    # committed sequential run).
+    if os.path.exists(full_path):
+        os.replace(full_path, full_path + ".prev")
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
         fh.write("\n")

@@ -695,7 +695,9 @@ def _parse_dqt(seg: bytes, qtables: dict) -> bool:
 
 def _parse_dht(seg: bytes, htables: dict) -> bool:
     """DHT segment → canonical huffman maps ((class, id) → {(length,
-    code): symbol}).  False on truncation."""
+    code): symbol}).  False on truncation, including a trailing
+    partial table header (0 < remainder < 17 bytes) — consistent with
+    _parse_dqt's strict short-table handling."""
     i = 0
     while i + 17 <= len(seg):
         tc, th = seg[i] >> 4, seg[i] & 0x0F
@@ -713,7 +715,7 @@ def _parse_dht(seg: bytes, htables: dict) -> bool:
             code <<= 1
         htables[(tc, th)] = table
         i += 17 + n
-    return True
+    return i == len(seg)
 
 
 def _parse_sof(seg: bytes):
@@ -1558,15 +1560,17 @@ def decode_wav_samples(b: bytes):
     elif tag == 3 and bits in (32, 64):
         step = bits // 8
         n = len(data) // (step * channels) * channels
+        x = np.frombuffer(
+            data, "<f4" if bits == 32 else "<f8", count=n
+        ).astype(np.float64)
+        # NaN/Inf samples would ride through np.clip into the feature
+        # math as NaN — a silent fake value; such a file lands on the
+        # stub tier instead
+        if not np.isfinite(x).all():
+            return None
         # clip to the nominal float range so the [-1, 1] contract all
         # other tiers honor holds for over-unity masters too
-        x = np.clip(
-            np.frombuffer(
-                data, "<f4" if bits == 32 else "<f8", count=n
-            ).astype(np.float64),
-            -1.0,
-            1.0,
-        )
+        x = np.clip(x, -1.0, 1.0)
     elif tag == 7 and bits == 8:
         # G.711 µ-law segment expansion (16-bit scaling, max ±32124):
         # complement, then magnitude = ((mantissa<<3)+BIAS)<<exponent.

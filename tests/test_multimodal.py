@@ -1053,7 +1053,9 @@ def _jpeg_prog_planes(pixels, gray, subsample):
     return h, w, comps, hmax, vmax, mcux, mcuy, planes
 
 
-def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes:
+def _jpeg_progressive(
+    pixels, gray=False, subsample=False, approx=True, restart=0
+) -> bytes:
     """Real PROGRESSIVE JPEG encoder for fixtures — T.81 Annex G:
     spectral selection (interleaved DC scan, then per-component AC
     bands) and, with ``approx=True``, successive approximation on top
@@ -1063,7 +1065,13 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
     quantizers and per-scan minimal DHT tables, so with full
     refinement the decoder must reproduce the baseline encoding of the
     same pixels EXACTLY.  Pure Python+numpy, independent of the
-    decoder's internals."""
+    decoder's internals.
+
+    ``restart=N`` emits a DRI segment and RSTn markers every N restart
+    units (MCUs in the interleaved DC scans, blocks in the
+    non-interleaved AC scans, per T.81 A.2.2) — DC predictors and EOB
+    runs reset at each boundary, the bit buffer pads with 1-bits, and
+    the marker cycles RST0..RST7 per scan."""
     import numpy as np
 
     from ex9_big_data_gal_drimer_spark.operators.multimodal import (
@@ -1097,8 +1105,13 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
 
     def dc_first_events(al):
         preds = [0] * ncomp
+        n_units = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart and n_units and n_units % restart == 0:
+                    yield ("RST",)
+                    preds = [0] * ncomp
+                n_units += 1
                 for ci, (_, ch, cv) in enumerate(comps):
                     for by in range(cv):
                         for bx in range(ch):
@@ -1112,8 +1125,12 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
                                 yield ("BITS", v, sz)
 
     def dc_refine_events(al):
+        n_units = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart and n_units and n_units % restart == 0:
+                    yield ("RST",)
+                n_units += 1
                 for ci, (_, ch, cv) in enumerate(comps):
                     for by in range(cv):
                         for bx in range(ch):
@@ -1123,6 +1140,7 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
     def ac_first_events(ci, ss, se, al):
         bh, bw = real_grid(ci)
         eobrun = 0
+        n_units = 0
 
         def flush():
             nonlocal eobrun
@@ -1137,6 +1155,10 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
 
         for by in range(bh):
             for bx in range(bw):
+                if restart and n_units and n_units % restart == 0:
+                    yield from flush()  # an EOB run never crosses RSTn
+                    yield ("RST",)
+                n_units += 1
                 band = [int(zzq[ci][by, bx, k]) for k in range(ss, se + 1)]
                 t = [(1 if z > 0 else -1) * (abs(z) >> al) for z in band]
                 nz = [i for i, v in enumerate(t) if v]
@@ -1168,6 +1190,7 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
     def ac_refine_events(ci, ss, se, al):
         bh, bw = real_grid(ci)
         eobrun = 0
+        n_units = 0
         be_bits: list[int] = []
 
         def flush():
@@ -1185,6 +1208,10 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
 
         for by in range(bh):
             for bx in range(bw):
+                if restart and n_units and n_units % restart == 0:
+                    yield from flush()  # pending EOB run + correction bits
+                    yield ("RST",)
+                n_units += 1
                 band = [int(zzq[ci][by, bx, k]) for k in range(ss, se + 1)]
                 t = [abs(z) >> al for z in band]
                 eobpos = max((i for i, v in enumerate(t) if v == 1), default=-1)
@@ -1226,6 +1253,8 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
     for ci, (_, ch, cv) in enumerate(comps):
         sof += bytes([ci + 1, (ch << 4) | cv, 0])
     out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    if restart:
+        out += b"\xff\xdd\x00\x04" + restart.to_bytes(2, "big")
 
     def canon(syms):
         ordered = sorted(syms)
@@ -1263,10 +1292,16 @@ def _jpeg_progressive(pixels, gray=False, subsample=False, approx=True) -> bytes
                     body.append(0x00)
                 acc &= (1 << nbits) - 1
 
+        rst_n = 0
         for ev in evs:
             if ev[0] == "SYM":
                 c, L = code[ev[1]]
                 put(c, L)
+            elif ev[0] == "RST":
+                if nbits:  # pad to a byte boundary with 1-bits (T.81 B.2.1)
+                    put((1 << (8 - nbits)) - 1, 8 - nbits)
+                body += bytes([0xFF, 0xD0 + rst_n % 8])  # marker: never stuffed
+                rst_n += 1
             else:
                 put(ev[1], ev[2])
         if nbits:
@@ -1391,6 +1426,50 @@ def test_jpeg_progressive_subsampled_and_gray():
     assert g is not None and np.unique(g).tolist() == [77]
 
 
+def test_jpeg_progressive_restart_markers_parity():
+    """DRI + RSTn streams decode to EXACTLY the pixels of the
+    no-restart stream (round-9 ADVICE: the resync / predictor-reset /
+    EOB-run-reset path in _jpeg_progressive_scan was untested).
+    restart=1 forces a marker between EVERY restart unit — MCUs in the
+    interleaved DC scans, blocks in the AC scans — so every predictor
+    and EOB run resets; restart=3 leaves a partial final interval.
+    The 4:2:0 leg exercises resync in a multi-block-per-MCU DC scan,
+    and approx=True runs it through the refinement scans (buffered
+    correction bits must flush before each marker)."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    grad = [
+        [(x * 10 % 256, y * 13 % 256, (x * 7 + y * 3) % 256) for x in range(23)]
+        for y in range(17)
+    ]
+    for approx in (False, True):
+        plain = decode_jpeg_pixels(_jpeg_progressive(grad, approx=approx))
+        assert plain is not None
+        for ri in (1, 3):
+            jp = _jpeg_progressive(grad, approx=approx, restart=ri)
+            assert b"\xff\xdd\x00\x04" in jp  # DRI segment present
+            assert b"\xff\xd0" in jp  # at least one RST0 per scan cycle
+            withrst = decode_jpeg_pixels(jp)
+            assert withrst is not None and np.array_equal(plain, withrst), (
+                approx,
+                ri,
+            )
+
+    px = [
+        [((x * 11 + y) % 256, (y * 9 + 2 * x) % 256, (x * x + y) % 256) for x in range(24)]
+        for y in range(24)
+    ]
+    plain = decode_jpeg_pixels(_jpeg_progressive(px, subsample=True, approx=True))
+    withrst = decode_jpeg_pixels(
+        _jpeg_progressive(px, subsample=True, approx=True, restart=2)
+    )
+    assert withrst is not None and np.array_equal(plain, withrst)
+
+
 def test_jpeg_progressive_rejects_malformed():
     """Truncation and illegal progression scripts land on None, never
     a crash — and the real-decoder Spark path accepts a progressive
@@ -1407,6 +1486,41 @@ def test_jpeg_progressive_rejects_malformed():
     # no scans at all: SOI + DQT + SOF2 + EOI
     sof_end = good.index(b"\xff\xc4")
     assert decode_jpeg_pixels(good[:sof_end] + b"\xff\xd9") is None
+
+
+def test_parse_dht_rejects_trailing_partial_header():
+    """A DHT segment whose tail is a PARTIAL table header (0 < leftover
+    < 17 bytes) is truncation, not padding — _parse_dht returns False
+    so the stream lands on the stub tier, consistent with _parse_dqt's
+    strict short-table handling (round-9 ADVICE)."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        _parse_dht,
+        decode_jpeg_pixels,
+    )
+
+    # one complete 1-symbol DC table: header byte + 16 counts + 1 symbol
+    counts = [0] * 16
+    counts[1] = 1  # one 2-bit code
+    complete = bytes([0x00]) + bytes(counts) + bytes([0x05])
+    tables: dict = {}
+    assert _parse_dht(complete, tables) is True and (0, 0) in tables
+    for cut in (1, 5, 16):  # partial second header of 1..16 bytes
+        assert _parse_dht(complete + complete[:cut], {}) is False
+    # and end-to-end: padding a real stream's DHT payload flips the
+    # whole decode onto the stub tier instead of silently dropping the
+    # trailing bytes
+    grad = [[(x * 16 % 256, 0, y * 16 % 256) for x in range(16)] for y in range(16)]
+    good = _jpeg_progressive(grad)
+    p = good.index(b"\xff\xc4")
+    seg_len = int.from_bytes(good[p + 2 : p + 4], "big")
+    padded = (
+        good[: p + 2]
+        + (seg_len + 3).to_bytes(2, "big")
+        + good[p + 4 : p + 2 + seg_len]
+        + b"\x11\x00\x00"  # 3-byte partial table header
+        + good[p + 2 + seg_len :]
+    )
+    assert decode_jpeg_pixels(padded) is None
 
 
 def test_jpeg_progressive_spark_features(spark):
@@ -1607,6 +1721,13 @@ def test_wav_ieee_float_and_reject_tiers():
     assert decode_wav_samples(_wav_container(2, 4, b"\x00" * 64)) is None
     assert decode_wav_samples(_wav_container(3, 16, f32)) is None
     assert decode_wav_samples(_wav_container(6, 16, f32)) is None
+    # non-finite samples land on the stub tier, never ride through the
+    # clip into NaN features (round-9 ADVICE)
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        poisoned = b"".join(struct.pack("<f", v) for v in [0.5, bad, -0.5])
+        assert decode_wav_samples(_wav_container(3, 32, poisoned)) is None
+        poisoned64 = b"".join(struct.pack("<d", v) for v in [0.5, bad])
+        assert decode_wav_samples(_wav_container(3, 64, poisoned64)) is None
 
 def test_g711_compress_matches_independent_encoder_all_int16():
     """The package's vectorized compressor (udtf_media.g711_compress)
