@@ -179,3 +179,73 @@ def connected_components(
     # duplicate row.  Shallow plan over the checkpointed `e` — no
     # extra eager pass (round-2 verdict ask #3).
     return _labels(e)
+
+
+def incremental_components(
+    state: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+) -> DataFrame:
+    """Merge DELTA edges into a previously computed component label
+    map WITHOUT touching the settled edge set — the graph twin of
+    incremental aggregate maintenance.
+
+    ``state`` is (node, component) over the settled slice (component
+    = min settled member id, i.e. the output of
+    :func:`connected_components`); ``delta_edges`` is any batch of
+    new edges.  Contraction: each delta endpoint maps to its settled
+    representative (or itself when unlabeled), CC runs on that
+    contracted graph — sized by the components the delta touches, not
+    the corpus — and settled labels re-map through the result.
+
+    Label algebra: a settled representative IS the min id of its
+    settled members, so the min over contracted node ids (reps ∪
+    unlabeled nodes) equals the min over all member ids — the merged
+    labels are exactly the full-graph labels, pinned by the
+    differential test against a recompute over the union
+    (tests/test_graph.py).
+
+    Scale: the two state lookups are joins on the (component-count
+    sized) label map; the CC fixpoint runs on the contracted residue.
+    At 100 TB the settled pair computation — the expensive part —
+    never reruns; a daily batch pays only pairs-touching-new-data.
+    """
+    lab_a = state.select(
+        F.col("node").alias(src), F.col("component").alias("_ca")
+    )
+    lab_b = state.select(
+        F.col("node").alias(dst), F.col("component").alias("_cb")
+    )
+    contracted = (
+        delta_edges.select(src, dst)
+        .join(lab_a, src, "left")
+        .join(lab_b, dst, "left")
+        .select(
+            F.coalesce("_ca", src).alias("cu"),
+            F.coalesce("_cb", dst).alias("cv"),
+        )
+        .filter(F.col("cu") != F.col("cv"))  # intra-component delta edges
+    )
+    cc2 = connected_components(contracted, src="cu", dst="cv").select(
+        F.col("node").alias("rep"), F.col("component").alias("merged")
+    )
+    # cc2 is residue-sized (components the delta touches) — always
+    # the broadcast side against the corpus-sized label map
+    relabeled = state.join(
+        F.broadcast(cc2), state.component == cc2.rep, "left"
+    ).select(
+        state.node.alias("node"),
+        F.coalesce("merged", "component").alias("component"),
+    )
+    # endpoints with no settled label are NEW nodes: their contracted
+    # id is themselves, so cc2 carries their label directly
+    new_nodes = (
+        delta_edges.select(F.col(src).alias("node"))
+        .unionByName(delta_edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(state.select("node"), "node", "left_anti")
+        .join(F.broadcast(cc2), F.col("node") == F.col("rep"), "left")
+        .select("node", F.coalesce("merged", "node").alias("component"))
+    )
+    return relabeled.unionByName(new_nodes)

@@ -1515,11 +1515,12 @@ def decode_wav_samples(b: bytes):
     any channel count mixed to mono by mean.  Codecs: 8-bit unsigned /
     16-bit signed PCM (format tag 1), IEEE float 32/64-bit (tag 3),
     G.711 A-law (tag 6) and µ-law (tag 7) companded 8-bit — the ITU
-    G.711 segment expansions, vectorized over the byte buffer.  Pure
-    stdlib+numpy; returns None for compressed codecs (MP3/AAC/ADPCM),
-    truncated chunks, or non-RIFF payloads — those stay on the
-    stub/raise tier, the same contract as the image decoders.
-    Samples are scaled to [-1, 1]."""
+    G.711 segment expansions, vectorized over the byte buffer — and
+    IMA/DVI ADPCM (tag 17) block-structured 4-bit differential
+    coding.  Pure stdlib+numpy; returns None for the remaining
+    compressed codecs (MP3/AAC), truncated chunks, or non-RIFF
+    payloads — those stay on the stub/raise tier, the same contract
+    as the image decoders.  Samples are scaled to [-1, 1]."""
     import numpy as np
 
     b = bytes(b)
@@ -1542,15 +1543,16 @@ def decode_wav_samples(b: bytes):
                 int.from_bytes(body[2:4], "little"),  # channels
                 int.from_bytes(body[4:8], "little"),  # sample rate
                 int.from_bytes(body[14:16], "little"),  # bits per sample
+                int.from_bytes(body[12:14], "little"),  # block align
             )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         return None
-    tag, channels, rate, bits = fmt
-    if tag not in (1, 3, 6, 7) or channels < 1 or rate <= 0:
-        return None  # compressed codecs (MP3/AAC/ADPCM): stub tier
+    tag, channels, rate, bits, block_align = fmt
+    if tag not in (1, 3, 6, 7, 17) or channels < 1 or rate <= 0:
+        return None  # compressed codecs (MP3/AAC): stub tier
     if tag == 1 and bits == 16:
         n = len(data) // (2 * channels) * channels
         x = np.frombuffer(data, "<i2", count=n).astype(np.float64) / 32768.0
@@ -1593,11 +1595,90 @@ def decode_wav_samples(b: bytes):
             ((m << 4) + 0x108) << np.maximum(seg - 1, 0),
         )
         x = np.where(a & 0x80, mag, -mag) / 32768.0
+    elif tag == 17 and bits == 4:
+        # IMA/DVI ADPCM (the one genuinely compressed codec feasible
+        # pure-Python): block-structured 4-bit differential coding
+        x = _ima_adpcm_samples(data, channels, block_align)
+        if x is None:
+            return None
+        n = x.size
     else:
         return None
     if n == 0:
         return None
     return x.reshape(-1, channels).mean(axis=1), rate
+
+
+#: IMA ADPCM step-size table (89 entries) and index-adjust table —
+#: the fixed tables of the IMA "Recommended Practices for Enhancing
+#: Digital Audio Compatibility" spec (public domain, same tables in
+#: every implementation).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_samples(data: bytes, channels: int, block_align: int):
+    """IMA ADPCM data chunk → interleaved float64 samples in [-1, 1],
+    or None on a malformed layout (stub tier).  Per block and channel:
+    a 4-byte header (int16 predictor — emitted as the first sample —
+    uint8 step index ≤ 88, reserved byte 0), then nibble data in
+    4-byte-per-channel round-robin groups (low nibble first).  The
+    decode recurrence pred += f(step, nibble) is inherently
+    sequential — a scalar loop, acceptable because clips decode
+    inside Arrow-batched executors and fixtures are small; the
+    vectorized tiers stay the hot path."""
+    import numpy as np
+
+    hdr_len = 4 * channels
+    if block_align <= hdr_len or len(data) < block_align:
+        return None
+    body_len = block_align - hdr_len
+    if channels > 1 and body_len % (4 * channels):
+        return None  # multi-channel nibbles come in 4-byte groups
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for off in range(0, len(data) - block_align + 1, block_align):
+        blk = data[off : off + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            pred = int.from_bytes(blk[c * 4 : c * 4 + 2], "little", signed=True)
+            idx = blk[c * 4 + 2]
+            if idx > 88 or blk[c * 4 + 3] != 0:
+                return None
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)
+        body = blk[hdr_len:]
+        group = 4 * channels if channels > 1 else len(body)
+        for gi in range(0, len(body), group):
+            for c in range(channels):
+                for byte in body[gi + c * 4 : gi + (c * 4) + (4 if channels > 1 else group)]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEPS[idxs[c]]
+                        diff = step >> 3
+                        if nib & 4:
+                            diff += step
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 1:
+                            diff += step >> 2
+                        preds[c] += -diff if nib & 8 else diff
+                        preds[c] = max(-32768, min(32767, preds[c]))
+                        idxs[c] += _IMA_INDEX_ADJUST[nib & 7]
+                        idxs[c] = max(0, min(88, idxs[c]))
+                        chans[c].append(preds[c])
+    frames = min(len(ch) for ch in chans)
+    if frames == 0:
+        return None
+    arr = np.array([ch[:frames] for ch in chans], dtype=np.float64).T
+    return (arr / 32768.0).ravel()
 
 
 def audio_features(samples, rate: int) -> list[float]:
@@ -1662,8 +1743,8 @@ def extract_audio_features(
                 elif real_decoder:
                     raise NotImplementedError(
                         "payload is not a decodable WAV (PCM, IEEE float, "
-                        "or G.711 A-law/µ-law); compressed audio needs "
-                        "librosa/ffmpeg — not in this container"
+                        "G.711 A-law/µ-law, or IMA ADPCM); other compressed "
+                        "audio needs librosa/ffmpeg — not in this container"
                     )
                 else:
                     feats = [

@@ -43,6 +43,7 @@ from . import queries_analytics5  # noqa: F401,E402
 from . import queries_platform2  # noqa: F401,E402
 from . import queries_platform  # noqa: F401,E402
 from . import queries_platform3  # noqa: F401,E402
+from . import queries_platform4  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
@@ -58,93 +59,93 @@ from . import queries_platform3  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-9 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
+    # ROUND-10 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
     # oracle-bearing queries are seated; rows-only tiers are never
     # seated (the driver banks nothing for them).
-    # (a) changed-plan re-verify (1): the round-9 two-phase bucketed
-    #     rewrite of the weighted median (round-8 verdict ask #5) —
-    #     oracle-green locally at sf0.01 and sf0.1; bank the NEW plan.
-    "quantity_weighted_median_price",
-    # (b) rolling re-verification: ALL 49 r04-vintage rows (round 8
-    #     banked no new work, so the precomputed round-8 rotation was
-    #     never applied and the whole r04 cohort reaches age 5 at the
-    #     r09 bank — every one must be seated now, per the round-8
-    #     verdict ask #1 and tools/preflight.py --check-vintage).
+    # (a) changed-plan re-verify (1): the round-9 staged top-k rewrite
+    #     of levenshtein_similar_parts (tier-0 equi-join + 51-key group
+    #     trim) — its banked r05 row verified the OLD exhaustive plan;
+    #     oracle-green locally at sf0.001/0.01/0.1, MUST bank the new
+    #     plan first (round-9 verdict ask #1).
+    # (b) round-10 additions (3, inside the <=3 new-oracle budget —
+    #     round-9 verdict ask #4): weighted-quantile generalization of
+    #     the two-phase bucketed median, incremental CC maintenance
+    #     (graph twin of incremental_agg_maintenance, oracle = full
+    #     recompute), and the clamped-accumulator fold (non-associative
+    #     per-key scan, F.aggregate == DuckDB list_reduce).
+    # (c) rolling re-verification: ALL 46 r05-vintage rows (age 5 at
+    #     the r10 bank; tools/preflight.py --check-vintage enforces).
     #     Alphabetical (all same vintage).
-    "array_agg_segments",
-    "bitmap_distinct_rollup",
-    "cdc_merge_customers",
-    "chi2_status_priority",
-    "customer_balance_deciles",
-    "dedup_keep_best_doc",
-    "doc_bigram_logprob",
-    "doc_type_token_ratio",
-    "doc_zipf_slope",
-    "dq_contract_orders",
-    "embedding_norm_outliers",
-    "event_retention_cohorts",
-    "events_anomaly_zscore",
-    "events_click_nonconverting",
-    "ewma_user_value",
-    "group_aware_split",
-    "histogram_order_totals",
-    "incremental_agg_maintenance",
-    "late_event_lateness_audit",
-    "ngram_duplication_audit",
-    "orders_running_share_pareto",
-    "orders_yoy_growth_by_nation",
-    "pagerank_part_cooccurrence",
-    "phrase_search_positional",
-    "price_size_regression",
-    "profile_orders_columns",
-    "recursive_month_series",
-    "robust_price_stats_by_priority",
-    "scd2_priority_history",
-    "sessionize_events_gap",
-    "snapshot_diff_customers",
-    "sorted_layout_rowgroup_skip",
-    "sql_udf_doc_score",
-    "token_length_buckets",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_lines_priority",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discount_revenue",
-    "tpch_q21_last_shippers",
-    "tpch_q22_dormant_customers",
-    "tpch_q4_late_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "training_mix_by_lang",
-    "triangle_census_cooccurrence",
-    "user_rfm_segmentation",
-    "zorder_layout_skip",
+    "levenshtein_similar_parts",
+    "weighted_quantiles_price",
+    "incremental_cc_maintenance",
+    "capped_running_balance",
+    "adaptive_quality_threshold",
+    "benford_first_digit_audit",
+    "char_window_duplication",
+    "daily_revenue_gapfill_interp",
+    "daily_revenue_moving_median",
+    "domain_quality_cap",
+    "embedding_label_cohesion",
+    "embedding_quantization_error",
+    "event_transition_matrix",
+    "gini_revenue_by_nation",
+    "grouping_sets_sql",
+    "hard_negative_mining",
+    "hash_bucket_balance_audit",
+    "join_key_skew_audit",
+    "knn_ivf_oracle_fixed_centroids",
+    "lang_entropy_by_source",
+    "layout_file_audit",
+    "merge_sink_upsert_totals",
+    "minhash_estimate_quality_md5",
+    "minhash_lsh_oracle_md5",
+    "numeric_corr_matrix_lineitem",
+    "orders_date_parts",
+    "q1_nation_order_stats",
+    "q2_urgent_orders_by_nation",
+    "q3_order_status_breakdown",
+    "q4_nation_rank",
+    "schema_evolution_scan",
+    "simhash_hamming_oracle_md5",
+    "source_unigram_divergence",
+    "source_vocab_overlap",
+    "time_weighted_avg_value",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_part_promotion",
+    "tpch_q21_bucketed",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "union_high_value_customers",
+    "user_active_day_streaks",
+    "welch_ttest_purchase_view",
 ]
 # 50 priority entries fill the driver's 50-slot window exactly
 # (checked below).  Every other query rides on banked green rows
-# (CORRECTNESS_r01-r08) plus the local differential suite, which
+# (CORRECTNESS_r01-r09) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-9 window freeze: registry 223 queries / 195 oracles (the 2
-# round-9 additions are rows-only media audits, never seated), all
-# 195 banked green; vintages after CORRECTNESS_r08: 49×r04, 46×r05,
-# 50×r06, 50×r08 (the r08 bank re-verified the round-7 window).
-# After CORRECTNESS_r09 banks this window, no row is older than r05
-# (age 4 — the oldest the rotation plan allows).
+# round-10 window freeze: registry 226 queries / 198 oracles (the 3
+# round-10 additions are all seated), 195 banked green + 3 new;
+# vintages after CORRECTNESS_r09: 46×r05, 49×r06 (incl.
+# levenshtein_similar_parts), 50×r08, 50×r09.  After CORRECTNESS_r10
+# banks this window, no row is older than r06 (age 4 — the oldest
+# the rotation plan allows) and cohorts are 48×r06, 50×r08, 50×r09,
+# 50×r10.
 #
-# ROUND-10 ROTATION (precomputed): prepend any round-10 additions or
-# changed-plan re-verifies (≤4 at this backlog), then the 46
-# r05-vintage rows (age 5 at the r10 bank — all MUST be seated;
-# alphabetical: adaptive_quality_threshold …
-# welch_ttest_purchase_view per the r05 bank).  46 + 4 new fits
-# the 50-slot window exactly;
+# ROUND-11 ROTATION (precomputed): prepend any round-11 additions or
+# changed-plan re-verifies (≤2 at this backlog), then the 48
+# r06-vintage rows (age 5 at the r11 bank — all MUST be seated;
+# the r06 bank minus levenshtein_similar_parts and
+# quantity_weighted_median_price, which re-banked in r10/r09).
+# 48 + 2 new fits the 50-slot window exactly;
 # tools/preflight.py --check-vintage enforces the residue rule.
-# Changed-plan re-verify OWED one of those 4 slots (round-6
-# precedent: land mid-round, seat next window):
-# levenshtein_similar_parts — round-9 staged top-k rewrite (tier-0
-# equi-join + 51-key group trim, exhaustive fallback below 50
-# exact-dup pairs); oracle-green locally at sf0.001/0.01/0.1, 142 s
-# -> 1.5 s at sf1 (warm bench; ~5 s cold).  MUST be seated first in round 10.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every

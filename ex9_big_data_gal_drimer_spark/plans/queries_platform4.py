@@ -1,0 +1,374 @@
+"""Round-10 operator tranche: three families a 100 TB curation
+platform runs as standing jobs, each with an exact DuckDB oracle.
+
+- ``weighted_quantiles_price``: the multi-quantile generalization of
+  the two-phase bucketed weighted median (round-9 verdict ask #4a) —
+  p25/p50/p75/p90 from ONE bin pass + ONE boundary refine, instead of
+  four sorts of the near-distinct (flag, price) grain.
+- ``incremental_cc_maintenance``: delta edges merged into a PERSISTED
+  connected-components state table — the graph twin of
+  incremental_agg_maintenance (round-9 verdict ask #4c); the oracle is
+  the full recompute, so the driver hash proves merge ≡ recompute.
+- ``capped_running_balance``: an order-dependent NON-associative fold
+  (clamped accumulator) no window algebra can express — the batch
+  form of a custom stateful operator, kept JVM-side via a sorted
+  ``F.aggregate`` left fold (≡ DuckDB ``list_reduce`` over a
+  ``list(... ORDER BY ...)`` with the initial accumulator prepended,
+  the queries_platform2 entropy-fold precedent, here with a STRUCT
+  accumulator).
+
+Cross-engine determinism: integer-only accumulators and thresholds —
+quantile cut-offs as ``ceil(num*tot/den)`` in BIGINT arithmetic (the
+``(99*tot+99)//100`` order-statistic precedent), quantities as
+integer-valued BIGINT sums, event points as small ints clamped in
+[0, 100].  No float ever crosses an engine boundary unrounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .queries_graph import CC_ORACLE_CTES
+from .registry import ITERATIVE_CONSTRUCTION, register
+
+#: (label, numerator, denominator) of each weighted quantile: the
+#: smallest price whose cumulative quantity reaches num/den of the
+#: flag's total.  Integer num/den keep the threshold exact in BIGINT.
+_QUANTILES = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]
+
+_Q_VALUES = ", ".join(f"('{k}', {n}, {d})" for k, n, d in _QUANTILES)
+_Q_WIDE = ", ".join(
+    f"ROUND(MIN(CASE WHEN qk = '{k}' THEN price END), 2) AS {k}"
+    for k, _, _ in _QUANTILES
+)
+
+
+@register(
+    "weighted_quantiles_price",
+    oracle=f"""
+    WITH g AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    w AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(qty) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+        FROM g
+    ),
+    q(qk, num, den) AS (SELECT * FROM (VALUES {_Q_VALUES})),
+    x AS (
+        SELECT w.l_returnflag, q.qk, MIN(w.l_extendedprice) AS price
+        FROM w CROSS JOIN q
+        WHERE w.cum >= (q.num * w.tot + q.den - 1) // q.den
+        GROUP BY w.l_returnflag, q.qk
+    )
+    SELECT l_returnflag, {_Q_WIDE}
+    FROM x GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted p25/p50/p75/p90 of extended price per return
+    flag in ONE two-phase bucketed plan — the multi-quantile
+    generalization of quantity_weighted_median_price.  Each quantile
+    is the first price (ascending) whose cumulative quantity reaches
+    ``ceil(num*tot/den)`` — the lower weighted order statistic, exact
+    in BIGINT on both engines (quantities are integer-valued).
+
+    Phase A partial-aggregates quantities into fixed-width price bins
+    (floor(price/100), ~1k bins at every sf), runs ONE cumulative
+    window over BIN grain, broadcast-crosses the 4-row quantile spec,
+    and extracts per (flag, quantile) the boundary bin — the first
+    bin whose bin-cumulative reaches the threshold — with the exact
+    cumulative below it.  Phase B broadcast-joins the ≤12-row boundary
+    table back and refines exactly within the boundary bins only
+    (~4/1000 of the fact table).  Adding quantiles adds boundary ROWS,
+    not passes: the expensive bin scan and window run once however
+    many quantiles the spec carries — the property that matters when
+    the fact table is 100 TB and the product wants a full profile.
+
+    Equivalence is exact by the same monotonicity argument as the
+    median (floor(p/100) is monotone, bins are contiguous price
+    intervals), applied per quantile row."""
+    li = table(spark, sf_dir, "lineitem")
+    pbin = F.floor(F.col("l_extendedprice") / 100.0)
+    bins = li.groupBy("l_returnflag", pbin.alias("pb")).agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    b = bins.select(
+        "l_returnflag",
+        "pb",
+        "qty",
+        F.sum("qty").over(wcum).alias("cum"),
+        F.sum("qty").over(wtot).alias("tot"),
+    )
+    qspec = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("qk"),
+                        F.lit(n).alias("num"),
+                        F.lit(d).alias("den"),
+                    )
+                    for k, n, d in _QUANTILES
+                ]
+            )
+        ).alias("q")
+    ).select("q.*")
+    # 4-row broadcast cross: bin grain × quantile spec, then the same
+    # boundary extraction as the median, per (flag, qk).
+    bq = b.join(F.broadcast(qspec)).withColumn(
+        "thresh", F.expr("(num * tot + den - 1) div den")
+    )
+    boundary = (
+        bq.filter(F.col("cum") >= F.col("thresh"))
+        .groupBy("l_returnflag", "qk")
+        .agg(
+            F.min("pb").alias("pb"),
+            (F.min("cum") - F.min_by("qty", "pb")).alias("cum_below"),
+            F.min("thresh").alias("thresh"),
+        )
+        .withColumnRenamed("l_returnflag", "b_flag")
+    )
+    refine = li.join(
+        F.broadcast(boundary),
+        (F.col("l_returnflag") == F.col("b_flag")) & (pbin == F.col("pb")),
+    ).groupBy("l_returnflag", "qk", "l_extendedprice", "cum_below", "thresh").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    wcum_p = (
+        Window.partitionBy("l_returnflag", "qk")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hit = (
+        refine.select(
+            "l_returnflag",
+            "qk",
+            "l_extendedprice",
+            (F.col("cum_below") + F.sum("qty").over(wcum_p)).alias("cum"),
+            "thresh",
+        )
+        .filter(F.col("cum") >= F.col("thresh"))
+        .groupBy("l_returnflag", "qk")
+        .agg(F.min("l_extendedprice").alias("price"))
+    )
+    return (
+        hit.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.min(F.when(F.col("qk") == k, F.col("price"))), 2
+                ).alias(k)
+                for k, _, _ in _QUANTILES
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "incremental_cc_maintenance",
+    oracle=CC_ORACLE_CTES
+    + """
+    SELECT node AS doc_id, component
+    FROM comp
+    ORDER BY doc_id
+    """,
+)
+def incremental_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance — the graph twin
+    of incremental_agg_maintenance: the CC labels of the SETTLED slice
+    of the near-dup pair graph (both endpoints below the 80 % doc_id
+    watermark) are materialized ONCE to a parquet state table; the
+    query then merges only the DELTA edges (any endpoint at or above
+    the watermark) by CONTRACTION: each delta endpoint maps to its
+    settled component representative (or itself if unlabeled), CC runs
+    on that contracted graph — components-touched-by-delta sized, not
+    corpus sized — and the state relabels through the contraction
+    result.  The oracle is the full recompute over ALL edges
+    (CC_ORACLE_CTES), so the driver hash proves merged ≡ recomputed.
+
+    Label algebra: a settled representative IS the min doc_id of its
+    settled members, so the min over contracted node ids (reps ∪ new
+    nodes) equals the min over all member ids — the incremental label
+    is exactly the full-graph label, not merely a consistent one.
+
+    Scale: at 100 TB the settled pair graph (the expensive
+    inverted-index self-join over yesterday's corpus) never recomputes;
+    the daily job pays pairs-touching-new-docs + a CC over a graph
+    whose nodes are the handful of components those pairs touch.  The
+    pair plan is byte-identical to dedup_connected_components /
+    group_aware_split, so CacheManager shares one cached edge set
+    across all three."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components, incremental_components
+
+    blocked = table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
+    )
+    pairs = ngram_jaccard_pairs(
+        blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
+    ).cache()
+    # watermark: exact integer arithmetic in both engines
+    max_id = (
+        table(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+    )
+    watermark = 4 * int(max_id) // 5
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = os.path.join(tempfile.gettempdir(), f"ex9_incr_cc_{tag}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        settled = pairs.filter(
+            (F.col("doc_id_a") < watermark) & (F.col("doc_id_b") < watermark)
+        )
+        connected_components(settled).write.mode("overwrite").parquet(store)
+    state = spark.read.parquet(store)  # (node, component)
+
+    delta = pairs.filter(
+        (F.col("doc_id_a") >= watermark) | (F.col("doc_id_b") >= watermark)
+    )
+    return (
+        incremental_components(state, delta)
+        .select(
+            F.col("node").alias("doc_id"), F.col("component").cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+ITERATIVE_CONSTRUCTION.add("incremental_cc_maintenance")
+
+#: Engagement points per event type — small ints so the clamped
+#: accumulator stays exact integer arithmetic in both engines.
+_POINTS = [
+    ("purchase", 40),
+    ("signup", 25),
+    ("click", 12),
+    ("view", -3),
+]
+_POINTS_ELSE = -10  # error and anything unexpected
+
+_PTS_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN {p}" for t, p in _POINTS)
+    + f" ELSE {_POINTS_ELSE} END"
+)
+
+
+@register(
+    "capped_running_balance",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, {_PTS_SQL} AS pts
+        FROM events
+    ),
+    folded AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               list_reduce(
+                   list_prepend(
+                       {{'bal': 0, 'ncap': 0, 'nflo': 0}},
+                       list({{'bal': pts, 'ncap': 0, 'nflo': 0}}
+                            ORDER BY event_id)),
+                   (acc, x) -> {{
+                       'bal': GREATEST(LEAST(acc.bal + x.bal, 100), 0),
+                       'ncap': acc.ncap
+                           + CASE WHEN acc.bal + x.bal > 100 THEN 1 ELSE 0 END,
+                       'nflo': acc.nflo
+                           + CASE WHEN acc.bal + x.bal < 0 THEN 1 ELSE 0 END
+                   }}) AS s
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(s.bal AS INTEGER) AS final_score,
+           CAST(s.ncap AS BIGINT) AS n_capped,
+           CAST(s.nflo AS BIGINT) AS n_floored,
+           n_events
+    FROM folded ORDER BY user_id
+    """,
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with a CLAMPED accumulator: events in
+    arrival order (event_id) add points by type (purchase +40, signup
+    +25, click +12, view -3, error -10), the running balance saturates
+    at [0, 100], and the output counts how often each bound was hit.
+    Clamping makes the fold NON-associative — no window-function
+    algebra (running sums, frames) can express it, because the clamp
+    at step i feeds step i+1.  This is the batch form of a custom
+    stateful operator: the streaming twin is an
+    applyInPandasWithState accumulator; here the history per key is
+    bounded, so the whole fold stays a JVM expression —
+    ``sort_array(collect_list(...))`` then ``F.aggregate`` with a
+    STRUCT accumulator, inside whole-stage codegen, no Python in the
+    data plane.  The oracle is the identical left fold via DuckDB
+    ``list_reduce`` with the initial accumulator prepended (the
+    entropy-fold precedent, struct-valued).
+
+    Scale: one hash shuffle on user_id; per-user arrays are
+    history-per-key sized (the same bound any per-entity scan pays);
+    integer points keep every intermediate exact, so the driver hash
+    cannot drift."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.coalesce(
+            *[
+                F.when(F.col("event_type") == t, F.lit(p))
+                for t, p in _POINTS
+            ],
+            F.lit(_POINTS_ELSE),
+        ).alias("pts"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(F.collect_list(F.struct("event_id", "pts"))).alias("evs"),
+    )
+    init = F.struct(
+        F.lit(0).alias("bal"), F.lit(0).alias("ncap"), F.lit(0).alias("nflo")
+    )
+    folded = per_user.select(
+        "user_id",
+        "n_events",
+        F.aggregate(
+            F.transform("evs", lambda e: e["pts"]),
+            init,
+            lambda acc, x: F.struct(
+                F.greatest(F.least(acc["bal"] + x, F.lit(100)), F.lit(0)).alias(
+                    "bal"
+                ),
+                (
+                    acc["ncap"]
+                    + F.when(acc["bal"] + x > 100, F.lit(1)).otherwise(F.lit(0))
+                ).alias("ncap"),
+                (
+                    acc["nflo"]
+                    + F.when(acc["bal"] + x < 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("nflo"),
+            ),
+        ).alias("s"),
+    )
+    return folded.select(
+        "user_id",
+        F.col("s.bal").cast("int").alias("final_score"),
+        F.col("s.ncap").cast("long").alias("n_capped"),
+        F.col("s.nflo").cast("long").alias("n_floored"),
+        "n_events",
+    ).orderBy("user_id")

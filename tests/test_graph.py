@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ex9_big_data_gal_drimer_spark.operators.graph import (
     ConvergenceError,
     connected_components,
+    incremental_components,
 )
 
 
@@ -68,6 +69,76 @@ def test_nonconvergence_raises(spark):
     edges = [(1, 2), (2, 3), (3, 4)]
     with pytest.raises(ConvergenceError):
         _spark_cc(spark, edges, max_iter=1)
+
+
+def _spark_incremental(spark, settled, delta) -> dict[int, int]:
+    state = connected_components(
+        spark.createDataFrame(settled, "doc_id_a LONG, doc_id_b LONG")
+    )
+    d = spark.createDataFrame(delta, "doc_id_a LONG, doc_id_b LONG")
+    rows = incremental_components(state, d).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_incremental_components_merge_branches(spark):
+    """Every merge branch on one planted graph: a delta edge MERGING
+    two settled components (both relabel to the joint min), a NEW-node
+    chain attaching to a settled component, a delta edge INSIDE one
+    settled component (self-loop after contraction — labels
+    unchanged), an untouched settled component, and a new-nodes-only
+    component.  Expected labels = full recompute semantics (min
+    reachable id)."""
+    settled = [
+        (10, 11), (11, 12),   # comp A (min 10)
+        (20, 21),             # comp B (min 20)
+        (30, 31),             # comp C (min 30) — untouched
+        (40, 41),             # comp D (min 40)
+    ]
+    delta = [
+        (12, 21),             # merges A and B -> min 10
+        (50, 51), (51, 20),   # new-node chain attaching to B (-> 10)
+        (40, 41),             # inside D: contracts to a self-loop
+        (60, 61),             # new-nodes-only component (min 60)
+    ]
+    got = _spark_incremental(spark, settled, delta)
+    assert got == {
+        10: 10, 11: 10, 12: 10,
+        20: 10, 21: 10, 50: 10, 51: 10,
+        30: 30, 31: 30,
+        40: 40, 41: 40,
+        60: 60, 61: 60,
+    }
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_incremental_components_matches_recompute(spark, seed):
+    """Differential pin: incremental merge over a random settled/delta
+    edge split ≡ union-find over the UNION — including when a new
+    node's id is smaller than every settled member (the new node
+    becomes the component representative)."""
+    rng = random.Random(seed)
+    settled_nodes = rng.sample(range(100, 1000), 60)
+    new_nodes = rng.sample(range(0, 100), 10) + rng.sample(
+        range(1000, 2000), 10
+    )
+    settled = [
+        (rng.choice(settled_nodes), rng.choice(settled_nodes))
+        for _ in range(50)
+    ]
+    settled = [(a, b) for a, b in settled if a != b]
+    mixed = settled_nodes + new_nodes
+    delta = [
+        (rng.choice(mixed), rng.choice(new_nodes)) for _ in range(25)
+    ] + [
+        (rng.choice(settled_nodes), rng.choice(settled_nodes))
+        for _ in range(10)
+    ]
+    delta = [(a, b) for a, b in delta if a != b]
+    got = _spark_incremental(spark, settled, delta)
+    want = _union_find(settled + delta)
+    # the incremental output covers settled-edge nodes plus delta
+    # endpoints — the same universe the recompute labels
+    assert got == want
 
 
 def _persistent_rdds(spark) -> dict[int, str]:

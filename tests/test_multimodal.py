@@ -1599,9 +1599,9 @@ def test_media_jpeg_decode_parity_query(spark):
     assert row.n_images > 0
     assert row.n_mismatched == 0
 
-def _wav_container(tag, bits, data, rate=8000, channels=1):
+def _wav_container(tag, bits, data, rate=8000, channels=1, block_align=None):
     """Minimal RIFF/WAVE container around raw codec bytes."""
-    block = max(1, channels * bits // 8)
+    block = block_align if block_align else max(1, channels * bits // 8)
     fmt = (
         b"fmt " + (16).to_bytes(4, "little")
         + tag.to_bytes(2, "little")
@@ -1780,6 +1780,206 @@ def test_audio_codec_transparency_query(spark):
     assert row.n_ulaw_over_bound == 0 and row.n_alaw_over_bound == 0
     assert 0 < row.max_ulaw_dev <= 1024.0 / 32768.0
     assert 0 < row.max_alaw_dev <= 1024.0 / 32768.0
+
+#: Spec constants of the IMA ADPCM Recommended Practice — inlined so
+#: the test encoder shares NOTHING with the decoder's tables.
+_IMA_T_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_T_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_enc_step(s, pred, idx):
+    """One encoder step: quantize-by-successive-subtraction (the
+    spec's ENCODER form, not the decoder's diff accumulation), then
+    track the decoder-visible reconstruction."""
+    step = _IMA_T_STEPS[idx]
+    delta = s - pred
+    nib = 8 if delta < 0 else 0
+    if delta < 0:
+        delta = -delta
+    if delta >= step:
+        nib |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nib |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nib |= 1
+        delta -= step >> 2
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_T_ADJ[nib & 7]))
+    return nib, pred, idx
+
+
+def _ima_encode(samples_by_ch, spb):
+    """Independent IMA ADPCM encoder: full blocks of `spb` samples per
+    channel (first sample verbatim in the 4-byte header, step index
+    persisted across blocks), nibbles packed low-first, multi-channel
+    data in 4-byte round-robin groups.  Returns (data_bytes,
+    block_align, reconstruction_by_channel) — the reconstruction is
+    the encoder's own predictor sequence, which a correct decoder
+    must reproduce BIT-EXACTLY."""
+    nch = len(samples_by_ch)
+    assert (spb - 1) % (8 if nch > 1 else 2) == 0
+    nbytes_per_ch = (spb - 1) // 2
+    block_align = 4 * nch + nbytes_per_ch * nch
+    idxs = [0] * nch
+    recon = [[] for _ in range(nch)]
+    out = bytearray()
+    n = len(samples_by_ch[0])
+    for base in range(0, n - spb + 1, spb):
+        nibs = [[] for _ in range(nch)]
+        headers = bytearray()
+        for c in range(nch):
+            pred = samples_by_ch[c][base]
+            headers += int(pred).to_bytes(2, "little", signed=True)
+            headers += bytes([idxs[c], 0])
+            recon[c].append(pred)
+            for k in range(1, spb):
+                nib, pred, idxs[c] = _ima_enc_step(
+                    samples_by_ch[c][base + k], pred, idxs[c]
+                )
+                nibs[c].append(nib)
+                recon[c].append(pred)
+        out += headers
+        packed = [
+            bytes(
+                ns[i] | (ns[i + 1] << 4) for i in range(0, len(ns), 2)
+            )
+            for ns in nibs
+        ]
+        if nch == 1:
+            out += packed[0]
+        else:
+            for g in range(0, nbytes_per_ch, 4):
+                for c in range(nch):
+                    out += packed[c][g : g + 4]
+    return bytes(out), block_align, recon
+
+
+def test_ima_adpcm_decode_matches_independent_encoder():
+    """IMA ADPCM decode reproduces the independent encoder's
+    reconstruction signal BIT-EXACTLY across multiple blocks (step
+    index persists across block boundaries; header predictor is the
+    first output sample), and the round trip stays within a loose
+    quality bound on a smooth signal."""
+    import math
+
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    sig = [
+        int(12000 * math.sin(i / 9.0) + 6000 * math.sin(i / 37.0))
+        for i in range(3 * 17)  # 3 full blocks at spb=17
+    ]
+    data, ba, recon = _ima_encode([sig], spb=17)
+    got = decode_wav_samples(_wav_container(17, 4, data, block_align=ba))
+    assert got is not None
+    x, rate = got
+    assert rate == 8000
+    assert np.array_equal(x * 32768.0, np.array(recon[0], dtype=np.float64))
+    # smooth signal: after the cold-start attack (step index ramps up
+    # from 0 over the first block), reconstruction tracks the original
+    err = np.abs(np.array(recon[0]) - np.array(sig))
+    assert float(err[17:].max()) < 4000 and float(err[17:].mean()) < 600
+
+
+def test_ima_adpcm_stereo_and_reject_tiers():
+    """Stereo nibbles interleave in 4-byte groups (decoded mono =
+    channel mean of the per-channel reconstructions); malformed
+    headers and layouts land on the stub tier."""
+    import math
+
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    left = [int(9000 * math.sin(i / 7.0)) for i in range(2 * 9)]
+    right = [int(5000 * math.cos(i / 11.0)) for i in range(2 * 9)]
+    data, ba, recon = _ima_encode([left, right], spb=9)
+    got = decode_wav_samples(
+        _wav_container(17, 4, data, channels=2, block_align=ba)
+    )
+    assert got is not None
+    x, _ = got
+    want = (np.array(recon[0], np.float64) + np.array(recon[1], np.float64)) / 2
+    assert np.array_equal(x * 32768.0, want)
+
+    mono, mba, _ = _ima_encode([left], spb=9)
+    # step index > 88 in the header
+    bad_idx = bytes([mono[0], mono[1], 89, 0]) + mono[4:]
+    assert decode_wav_samples(
+        _wav_container(17, 4, bad_idx, block_align=mba)
+    ) is None
+    # reserved header byte must be zero
+    bad_rsv = mono[:3] + b"\x01" + mono[4:]
+    assert decode_wav_samples(
+        _wav_container(17, 4, bad_rsv, block_align=mba)
+    ) is None
+    # block_align not beyond the headers
+    assert decode_wav_samples(
+        _wav_container(17, 4, mono, block_align=4)
+    ) is None
+    # stereo body must come in 4-byte-per-channel groups
+    assert decode_wav_samples(
+        _wav_container(17, 4, data[:-4], channels=2, block_align=ba - 4)
+    ) is None
+
+
+def test_ima_adpcm_spark_features_match_pcm_of_reconstruction(spark):
+    """End-to-end through the Arrow feature pipeline: an ADPCM clip
+    and a 16-bit PCM clip holding the SAME reconstruction samples
+    yield identical feature vectors under real_decoder=True."""
+    import math
+    import struct
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    sig = [int(11000 * math.sin(i / 8.0)) for i in range(5 * 17)]
+    data, ba, recon = _ima_encode([sig], spb=17)
+    adpcm = _wav_container(17, 4, data, block_align=ba)
+    pcm = _wav_container(
+        1, 16, b"".join(struct.pack("<h", v) for v in recon[0])
+    )
+    df = spark.createDataFrame(
+        [(1, adpcm), (2, pcm)], "media_id long, payload binary"
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_audio_features(df, real_decoder=True).collect()
+    }
+    for f in (
+        "duration_s",
+        "rms",
+        "peak",
+        "zcr",
+        "spectral_centroid_hz",
+        "spectral_rolloff_hz",
+    ):
+        assert getattr(rows[1], f) == getattr(rows[2], f), f
+
 
 def test_jpeg_progressive_trailing_fill_bytes_return_none():
     """A progressive stream truncated inside trailing 0xFF fill bytes
