@@ -337,12 +337,13 @@ def _jpeg_emit_baseline(out: bytearray, events) -> None:
 
 
 def make_wav(tag: int, bits: int, data: bytes, rate: int = 8000,
-             channels: int = 1) -> bytes:
+             channels: int = 1, block_align: int | None = None) -> bytes:
     """Minimal spec-conformant RIFF/WAVE container around raw codec
     bytes (canonical fmt chunk + data chunk) — the ONE WAV byte layout
     every corpus synthesizer shares, so a header fix reaches all of
-    them (round-9 review)."""
-    block = max(1, channels * bits // 8)
+    them (round-9 review).  ``block_align`` overrides the PCM-derived
+    default for block codecs (IMA ADPCM)."""
+    block = block_align if block_align else max(1, channels * bits // 8)
     fmt = (
         b"fmt " + (16).to_bytes(4, "little")
         + tag.to_bytes(2, "little")
@@ -387,6 +388,58 @@ def g711_compress(samples16, law: str) -> bytes:
                      mag >> 4)
         return ((np.where(pos, 0x80, 0) | a) ^ 0x55).astype(np.uint8).tobytes()
     raise ValueError(f"unknown companding law: {law}")
+
+
+def ima_adpcm_compress(samples16, spb: int = 505) -> tuple[bytes, int]:
+    """IMA ADPCM encoder for corpus synthesis: int16-scale mono
+    samples → ``(block_bytes, block_align)``.  Full blocks of ``spb``
+    samples (odd, so nibbles pair up): the first sample goes verbatim
+    into the 4-byte header, the step index persists across blocks, a
+    trailing partial block is dropped.  Shares the spec step tables
+    with the decoder; INDEPENDENCE of the parity evidence comes from
+    the test-side encoder (tests/test_multimodal.py), exactly the
+    make_jpeg_gray / g711_compress precedent."""
+    from .multimodal import _IMA_INDEX_ADJUST, _IMA_STEPS
+
+    if spb < 3 or spb % 2 == 0:
+        raise ValueError("spb must be odd and >= 3")
+    xs = [int(v) for v in samples16]
+    nb = (spb - 1) // 2
+    out = bytearray()
+    idx = 0
+    for base in range(0, len(xs) - spb + 1, spb):
+        pred = xs[base]
+        out += pred.to_bytes(2, "little", signed=True) + bytes([idx, 0])
+        nibs = []
+        for s in xs[base + 1 : base + spb]:
+            step = _IMA_STEPS[idx]
+            delta = s - pred
+            nib = 8 if delta < 0 else 0
+            if delta < 0:
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred += -diff if nib & 8 else diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJUST[nib & 7]))
+            nibs.append(nib)
+        out += bytes(
+            nibs[i] | (nibs[i + 1] << 4) for i in range(0, nb * 2, 2)
+        )
+    return bytes(out), 4 + nb
 
 
 # ---------------------------------------------------------------------------

@@ -392,14 +392,21 @@ def video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The SAME waveform per doc in three RIFF containers: 16-bit PCM
     (the reference), G.711 µ-law and A-law companded 8-bit (tags 7/6).
-    Text bytes are the waveform, recentred to int16 scale."""
+    Text bytes are the waveform, recentred to int16 scale.  A fourth
+    leg carries a SMOOTH doc-keyed sine (byte noise defeats any
+    differential codec by design) as IMA ADPCM (tag 17) plus its own
+    PCM reference."""
     import numpy as np
 
-    from ..operators.udtf_media import g711_compress, make_wav
+    from ..operators.udtf_media import (
+        g711_compress,
+        ima_adpcm_compress,
+        make_wav,
+    )
 
     n_samples = 2000
     for pdf in batches:
-        pcms, ulaws, alaws = [], [], []
+        pcms, ulaws, alaws, spcms, adpcms = [], [], [], [], []
         for t in pdf["text"]:
             raw = (t or " ").encode("utf-8", "replace")
             tiled = (raw * (n_samples // len(raw) + 1))[:n_samples]
@@ -407,8 +414,22 @@ def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             pcms.append(make_wav(1, 16, x16.astype("<i2").tobytes()))
             ulaws.append(make_wav(7, 8, g711_compress(x16, "ulaw")))
             alaws.append(make_wav(6, 8, g711_compress(x16, "alaw")))
+            k = 1 + sum(raw) % 5
+            xs = np.round(
+                9000.0 * np.sin(2 * np.pi * k * np.arange(n_samples) / n_samples)
+            ).astype(np.int64)
+            adp, ba = ima_adpcm_compress(xs, spb=501)
+            spcms.append(make_wav(1, 16, xs.astype("<i2").tobytes()))
+            adpcms.append(make_wav(17, 4, adp, block_align=ba))
         yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "pcm": pcms, "ulaw": ulaws, "alaw": alaws}
+            {
+                "media_id": pdf["doc_id"],
+                "pcm": pcms,
+                "ulaw": ulaws,
+                "alaw": alaws,
+                "pcm_smooth": spcms,
+                "adpcm": adpcms,
+            }
         )
 
 
@@ -421,16 +442,32 @@ def _codec_deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..operators.multimodal import decode_wav_samples
 
     for pdf in batches:
-        out = {"media_id": [], "ulaw_max_dev": [], "alaw_max_dev": []}
-        for mid, pcm, ul, al in zip(
-            pdf["media_id"], pdf["pcm"], pdf["ulaw"], pdf["alaw"]
+        out = {
+            "media_id": [],
+            "ulaw_max_dev": [],
+            "alaw_max_dev": [],
+            "adpcm_max_dev": [],
+        }
+        for mid, pcm, ul, al, sp, ad in zip(
+            pdf["media_id"],
+            pdf["pcm"],
+            pdf["ulaw"],
+            pdf["alaw"],
+            pdf["pcm_smooth"],
+            pdf["adpcm"],
         ):
             ref, _ = decode_wav_samples(pcm)
             xu, _ = decode_wav_samples(ul)
             xa, _ = decode_wav_samples(al)
+            sref, _ = decode_wav_samples(sp)
+            xd, _ = decode_wav_samples(ad)
             out["media_id"].append(int(mid))
             out["ulaw_max_dev"].append(float(np.max(np.abs(xu - ref))))
             out["alaw_max_dev"].append(float(np.max(np.abs(xa - ref))))
+            # the encoder drops the trailing partial block by contract
+            out["adpcm_max_dev"].append(
+                float(np.max(np.abs(xd - sref[: len(xd)])))
+            )
         yield pd.DataFrame(out)
 
 
@@ -442,11 +479,17 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.decode_wav_samples), per-clip max sample deviation
     compared against the codec's quantization bound (top-segment step
     1024/32768 = 0.03125 — any clip over it means a broken expansion
-    or compression table).  The audit an audio-ingest pipeline runs
-    before trusting transcoded corpora.  Rows-only: DuckDB cannot
-    parse RIFF or expand G.711; the expansions are pinned exactly by
-    tests/test_multimodal.py's all-256-bytes roundtrip through an
-    independent compressor.
+    or compression table).  Round 10 adds the IMA ADPCM leg: a smooth
+    doc-keyed sine (differential codecs cannot track byte noise by
+    design) encoded with udtf_media.ima_adpcm_compress, decoded by the
+    real tag-17 block decoder, held to a 512/32768 tracking bound
+    (measured headroom ~1.5× over the worst doc key, incl. the
+    cold-start step-index ramp).  The audit an audio-ingest pipeline
+    runs before trusting transcoded corpora.  Rows-only: DuckDB
+    cannot parse RIFF or expand G.711/ADPCM; the expansions are
+    pinned exactly by tests/test_multimodal.py's all-256-bytes G.711
+    roundtrip and the bit-exact ADPCM reconstruction parity against
+    an independent test encoder.
 
     Scale shape: synthesis, companding and decode are Arrow-batched
     mapInPandas end-to-end; output is one bounded summary row."""
@@ -457,18 +500,25 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     three = docs.mapInPandas(
         _text_to_wav_codecs,
-        "media_id long, pcm binary, ulaw binary, alaw binary",
+        "media_id long, pcm binary, ulaw binary, alaw binary, "
+        "pcm_smooth binary, adpcm binary",
     )
     deltas = three.mapInPandas(
-        _codec_deltas, "media_id long, ulaw_max_dev double, alaw_max_dev double"
+        _codec_deltas,
+        "media_id long, ulaw_max_dev double, alaw_max_dev double, "
+        "adpcm_max_dev double",
     )
     bound = 1024.0 / 32768.0
+    adpcm_bound = 512.0 / 32768.0
     return deltas.agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum(F.when(F.col("ulaw_max_dev") <= bound, 0).otherwise(1))
         .cast("long").alias("n_ulaw_over_bound"),
         F.sum(F.when(F.col("alaw_max_dev") <= bound, 0).otherwise(1))
         .cast("long").alias("n_alaw_over_bound"),
+        F.sum(F.when(F.col("adpcm_max_dev") <= adpcm_bound, 0).otherwise(1))
+        .cast("long").alias("n_adpcm_over_bound"),
         F.round(F.max("ulaw_max_dev"), 6).alias("max_ulaw_dev"),
         F.round(F.max("alaw_max_dev"), 6).alias("max_alaw_dev"),
+        F.round(F.max("adpcm_max_dev"), 6).alias("max_adpcm_dev"),
     )

@@ -1780,6 +1780,29 @@ def test_audio_codec_transparency_query(spark):
     assert row.n_ulaw_over_bound == 0 and row.n_alaw_over_bound == 0
     assert 0 < row.max_ulaw_dev <= 1024.0 / 32768.0
     assert 0 < row.max_alaw_dev <= 1024.0 / 32768.0
+    assert row.n_adpcm_over_bound == 0
+    assert 0 < row.max_adpcm_dev <= 512.0 / 32768.0
+
+
+def test_ima_adpcm_compress_matches_independent_encoder():
+    """The package corpus encoder (udtf_media.ima_adpcm_compress)
+    emits byte-identical blocks to the independent test encoder —
+    both implement the canonical IMA quantizer, so any divergence is
+    a bug in one of them (the g711_compress precedent)."""
+    import math
+
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        ima_adpcm_compress,
+    )
+
+    sig = [
+        int(13000 * math.sin(i / 6.0) + 4000 * math.sin(i / 29.0))
+        for i in range(4 * 17 + 5)  # trailing partial block dropped
+    ]
+    pkg, ba_pkg = ima_adpcm_compress(sig, spb=17)
+    ind, ba_ind, _ = _ima_encode([sig[: 4 * 17]], spb=17)
+    assert ba_pkg == ba_ind
+    assert pkg == ind
 
 #: Spec constants of the IMA ADPCM Recommended Practice — inlined so
 #: the test encoder shares NOTHING with the decoder's tables.
