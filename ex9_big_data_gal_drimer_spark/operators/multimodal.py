@@ -1659,7 +1659,12 @@ def _ima_adpcm_samples(data: bytes, channels: int, block_align: int):
         group = 4 * channels if channels > 1 else len(body)
         for gi in range(0, len(body), group):
             for c in range(channels):
-                for byte in body[gi + c * 4 : gi + (c * 4) + (4 if channels > 1 else group)]:
+                seg = (
+                    body[gi + c * 4 : gi + c * 4 + 4]
+                    if channels > 1
+                    else body
+                )
+                for byte in seg:
                     for nib in (byte & 0x0F, byte >> 4):
                         step = _IMA_STEPS[idxs[c]]
                         diff = step >> 3
