@@ -222,12 +222,17 @@ def main() -> int:
             },
         }
 
-    # Snapshot the first pass before an in-place rerun overwrites it, so
-    # a contaminated rerun never silently destroys the clean numbers
-    # (round-9 "What's wrong" #1: the driver's gate run overwrote the
-    # committed sequential run).
+    # Snapshot every earlier pass before an in-place rerun overwrites
+    # it, so no rerun ever silently destroys prior numbers (round-9
+    # "What's wrong" #1: the driver's gate run overwrote the committed
+    # sequential run).  Numbered suffixes, never clobbered: a SECOND
+    # rerun must not replace the preserved clean first pass with the
+    # first rerun's contaminated output.
     if os.path.exists(full_path):
-        os.replace(full_path, full_path + ".prev")
+        n = 1
+        while os.path.exists(f"{full_path}.prev{n}"):
+            n += 1
+        os.replace(full_path, f"{full_path}.prev{n}")
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
         fh.write("\n")

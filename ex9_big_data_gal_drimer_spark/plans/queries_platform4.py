@@ -26,7 +26,6 @@ integer-valued BIGINT sums, event points as small ints clamped in
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -34,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..sources.layout import path_tag
 from .queries_graph import CC_ORACLE_CTES
 from .registry import ITERATIVE_CONSTRUCTION, register
 
@@ -233,8 +233,10 @@ def incremental_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     watermark = 4 * int(max_id) // 5
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    store = os.path.join(tempfile.gettempdir(), f"ex9_incr_cc_{tag}")
+    # shared tmp-cache tag contract (full-path keyed) — sources/layout.py
+    store = os.path.join(
+        tempfile.gettempdir(), f"ex9_incr_cc_{path_tag(sf_dir)}"
+    )
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         settled = pairs.filter(
             (F.col("doc_id_a") < watermark) & (F.col("doc_id_b") < watermark)
