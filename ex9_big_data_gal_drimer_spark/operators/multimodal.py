@@ -1857,6 +1857,208 @@ def decode_avi_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = 
     return frames or None
 
 
+# ---------------------------------------------------------------------------
+# Video (ISO-BMFF / MP4) — box walk, sample-table resolution, MJPEG decode.
+# Container parity with the AVI walk above: the reference's media surface
+# treats video as an opaque binary column plus a frame-sample operator; the
+# container is transparent when the codec payload decodes identically
+# through either wrapper (video_container_parity audits exactly that).
+# ---------------------------------------------------------------------------
+
+#: ISO-BMFF boxes that contain child boxes directly (no extra header
+#: before the first child) on the path to a track's sample table.
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+#: stsd sample-entry fourccs whose samples are self-contained JPEG
+#: streams (QuickTime-style motion JPEG in MP4).  Anything else —
+#: avc1/hev1/mp4v — needs an entropy codec this container doesn't
+#: ship, so those tracks stay on the honest stub tier.
+_MP4_JPEG_CODECS = frozenset((b"jpeg", b"mjpg", b"MJPG"))
+
+
+def _mp4_boxes(b: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each ISO-BMFF box in
+    [pos, end).  32-bit size; size == 1 → 64-bit largesize follows the
+    fourcc; size == 0 → the box runs to ``end`` (last-box form).
+    Truncation-safe: a header or declared size overrunning the range
+    stops the walk — callers treat missing mandatory boxes as
+    malformed (None tier), consistent with the strict RIFF/JPEG
+    segment handling above."""
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        fourcc = b[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            body = pos + 16
+            if size < 16:
+                return
+        elif size == 0:
+            size = end - pos
+        elif size < 8:
+            return
+        if pos + size > end:
+            return
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_sample_ranges(sizes, chunk_offsets, stsc_runs):
+    """Resolve the ISO-BMFF sample table to absolute (offset, size)
+    per sample: expand the stsc run-length map (first_chunk,
+    samples_per_chunk) against stco/co64 chunk offsets and the stsz
+    size list; samples within a chunk are laid out back-to-back.
+    Returns None if the tables are inconsistent (stsc covers fewer
+    samples than stsz declares, run indices non-increasing, or a
+    zero/negative samples-per-chunk) — malformed files land on the
+    None tier, never on silently-partial output."""
+    ranges = []
+    si = 0
+    n_chunks = len(chunk_offsets)
+    for ri, (first, spc, _) in enumerate(stsc_runs):
+        if first < 1 or first > n_chunks or spc < 1:
+            return None
+        last = (
+            stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else n_chunks
+        )
+        if last < first:
+            return None
+        for c in range(first, last + 1):
+            off = chunk_offsets[c - 1]
+            for _ in range(spc):
+                if si == len(sizes):
+                    return ranges
+                ranges.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return ranges if si == len(sizes) else None
+
+
+def decode_mp4_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = None):
+    """Walk an ISO-BMFF (MP4/QuickTime-brand) container and decode
+    every ``frame_stride``-th video sample to an (h, w, 3) RGB array —
+    the MP4 twin of :func:`decode_avi_frames`.  The 'jpeg'/'mjpg'
+    sample-entry codecs decode for real via :func:`decode_jpeg_pixels`
+    (each sample is a self-contained baseline JPEG stream); other
+    codecs (avc1/hev1/mp4v) return None — the honest stub tier, since
+    their entropy decoders aren't shippable pure-Python.
+
+    Frame enumeration resolves the REAL sample table (stsd → codec,
+    stsc → samples-per-chunk runs, stco/co64 → chunk offsets, stsz →
+    sample sizes); unsampled frames are located but never sliced or
+    decoded, so sampling cost is frames/stride — the same cost model
+    as the AVI walk.  Returns the frame list, or None for non-BMFF
+    payloads, malformed sample tables, undecodable codecs, or an
+    invalid stride (bad-input contract parity, round-6 ADVICE)."""
+    if frame_stride < 1:
+        return None
+    b = bytes(b)
+    # every ISO-BMFF file opens with ftyp (or styp for segments)
+    if len(b) < 12 or b[4:8] not in (b"ftyp", b"styp"):
+        return None
+
+    def descend(pos, end, want):
+        for cc, s, e in _mp4_boxes(b, pos, end):
+            if cc in want:
+                yield cc, s, e
+            if cc in _MP4_CONTAINERS:
+                yield from descend(s, e, want)
+
+    best = None
+    for cc, ms, me in _mp4_boxes(b, 0, len(b)):
+        if cc != b"moov":
+            continue
+        for tc, ts, te in _mp4_boxes(b, ms, me):
+            if tc != b"trak":
+                continue
+            found = {}
+            for bc, s, e in descend(ts, te, (b"hdlr", b"stsd", b"stsz",
+                                             b"stsc", b"stco", b"co64")):
+                found.setdefault(bc, (s, e))
+            h = found.get(b"hdlr")
+            # hdlr body: ver/flags(4) + pre_defined(4) + handler(4)
+            if not h or h[1] - h[0] < 12 or b[h[0] + 8 : h[0] + 12] != b"vide":
+                continue
+            if not all(k in found for k in (b"stsd", b"stsz", b"stsc")):
+                return None
+            if b"stco" not in found and b"co64" not in found:
+                return None
+            best = found
+            break
+        if best:
+            break
+    if not best:
+        return None
+
+    s, e = best[b"stsd"]  # ver/flags + entry_count, then sample entries
+    if e - s < 16:
+        return None
+    codec = b[s + 12 : s + 16]  # first entry's fourcc
+    if codec not in _MP4_JPEG_CODECS:
+        return None
+
+    s, e = best[b"stsz"]  # ver/flags + sample_size + sample_count [+ sizes]
+    if e - s < 12:
+        return None
+    uniform = int.from_bytes(b[s + 4 : s + 8], "big")
+    n = int.from_bytes(b[s + 8 : s + 12], "big")
+    if uniform:
+        sizes = [uniform] * n
+    else:
+        if e - s < 12 + 4 * n:
+            return None
+        sizes = [
+            int.from_bytes(b[s + 12 + 4 * i : s + 16 + 4 * i], "big")
+            for i in range(n)
+        ]
+
+    key, width = (b"co64", 8) if b"co64" in best else (b"stco", 4)
+    s, e = best[key]  # ver/flags + entry_count + offsets
+    if e - s < 8:
+        return None
+    nc = int.from_bytes(b[s + 4 : s + 8], "big")
+    if e - s < 8 + width * nc:
+        return None
+    offsets = [
+        int.from_bytes(b[s + 8 + width * i : s + 8 + width * (i + 1)], "big")
+        for i in range(nc)
+    ]
+
+    s, e = best[b"stsc"]  # ver/flags + entry_count + triples
+    if e - s < 8:
+        return None
+    nr = int.from_bytes(b[s + 4 : s + 8], "big")
+    if e - s < 8 + 12 * nr or nr == 0:
+        return None
+    runs = [
+        tuple(
+            int.from_bytes(b[s + 8 + 12 * i + 4 * j : s + 12 + 12 * i + 4 * j], "big")
+            for j in range(3)
+        )
+        for i in range(nr)
+    ]
+
+    ranges = _mp4_sample_ranges(sizes, offsets, runs)
+    if ranges is None:
+        return None
+    frames = []
+    for idx, (off, size) in enumerate(ranges):
+        if idx % frame_stride:
+            continue
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if off + size > len(b):
+            return None  # sample table points past the file: malformed
+        sample = b[off : off + size]
+        if sample[:2] == b"\xff\xd8":
+            px = decode_jpeg_pixels(sample)
+            if px is not None:
+                frames.append(px)
+    return frames or None
+
+
 VIDEO_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1877,10 +2079,14 @@ def extract_video_features(
     """Arrow-batched video feature extraction: sample every
     ``frame_stride``-th frame from AVI payloads
     (:func:`decode_avi_frames` — MJPEG via the pure-Python JPEG
-    decoder, raw DIB via numpy), compute per-frame pixel features and
-    emit their elementwise MEAN as the clip descriptor plus the
-    sampled-frame count.  Non-AVI / unknown-codec payloads raise
-    under ``real_decoder=True`` or fall back to the sha256 stub."""
+    decoder, raw DIB via numpy) or MP4/ISO-BMFF payloads
+    (:func:`decode_mp4_frames` — 'jpeg'/'mjpg' sample entries via the
+    same JPEG decoder), compute per-frame pixel features and emit
+    their elementwise MEAN as the clip descriptor plus the
+    sampled-frame count.  Container dispatch is by magic bytes, so a
+    mixed AVI/MP4 corpus rides one pass.  Other containers /
+    unknown codecs raise under ``real_decoder=True`` or fall back to
+    the sha256 stub."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1890,6 +2096,8 @@ def extract_video_features(
                 frames = decode_avi_frames(
                     p, frame_stride=frame_stride
                 )
+                if frames is None:
+                    frames = decode_mp4_frames(p, frame_stride=frame_stride)
                 if frames is not None:
                     per = np.asarray(
                         [pixel_features(fr, num_features) for fr in frames]
@@ -1898,8 +2106,10 @@ def extract_video_features(
                     feats.append([float(v) for v in per.mean(axis=0)])
                 elif real_decoder:
                     raise NotImplementedError(
-                        "payload is not a decodable AVI (MJPEG/DIB); other "
-                        "containers need ffmpeg — not in this container"
+                        "payload is not a decodable AVI (MJPEG/DIB) or "
+                        "MP4 (MJPEG sample entries); compressed codecs "
+                        "(avc1/hev1/mp4v) need ffmpeg — not in this "
+                        "container"
                     )
                 else:
                     d = hashlib.sha256(bytes(p)).hexdigest()

@@ -442,6 +442,94 @@ def ima_adpcm_compress(samples16, spb: int = 505) -> tuple[bytes, int]:
     return bytes(out), 4 + nb
 
 
+def make_mp4_mjpeg(frames, width: int, height: int, *,
+                   samples_per_chunk: int = 2, co64: bool = False,
+                   timescale: int = 1000, frame_duration: int = 40) -> bytes:
+    """Minimal VALID ISO-BMFF muxer for corpus synthesis: a list of
+    self-contained JPEG streams → one MP4 with a single 'vide' track
+    whose stsd entry is the QuickTime 'jpeg' codec.  The sample table
+    is REAL — stsc packs ``samples_per_chunk`` samples per chunk (a
+    trailing short chunk gets its own run, so the decoder's run
+    expansion is exercised, not just the 1-sample-per-chunk trivial
+    case) and chunk offsets are absolute stco (or co64) positions
+    into the mdat that precedes moov.  Independence of the parity
+    evidence stays with the test-side walk (tests/test_multimodal.py)
+    — this only has to PRODUCE spec-valid files, the make_jpeg_gray /
+    g711_compress precedent."""
+    frames = [bytes(f) for f in frames]
+    if not frames or samples_per_chunk < 1:
+        raise ValueError("need >= 1 frame and a positive chunk packing")
+
+    def box(cc: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + cc + body
+
+    def full(cc: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+        return box(cc, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    # mdat follows ftyp directly; its body starts 8 bytes into the box
+    mdat_body_at = len(ftyp) + 8
+    n = len(frames)
+
+    chunks = [frames[i : i + samples_per_chunk]
+              for i in range(0, n, samples_per_chunk)]
+    offsets, pos = [], mdat_body_at
+    for c in chunks:
+        offsets.append(pos)
+        pos += sum(len(f) for f in c)
+    runs = []
+    if len(chunks) > 1:
+        runs.append((1, samples_per_chunk, 1))
+    if len(chunks) == 1 or len(chunks[-1]) != samples_per_chunk:
+        runs.append((len(chunks), len(chunks[-1]), 1))
+
+    entry = (  # VisualSampleEntry, 78 bytes after the 8-byte box header
+        bytes(6) + (1).to_bytes(2, "big")            # data_reference_index
+        + bytes(16)                                   # pre_defined/reserved
+        + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + (0x00480000).to_bytes(4, "big") * 2         # 72 dpi h/v
+        + bytes(4) + (1).to_bytes(2, "big")           # frame_count
+        + bytes(32)                                   # compressorname
+        + (24).to_bytes(2, "big") + b"\xff\xff"       # depth, pre_defined -1
+    )
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + box(b"jpeg", entry))
+    stts = full(b"stts", (1).to_bytes(4, "big")
+                + n.to_bytes(4, "big") + frame_duration.to_bytes(4, "big"))
+    stsc = full(b"stsc", len(runs).to_bytes(4, "big")
+                + b"".join(b"".join(v.to_bytes(4, "big") for v in r)
+                           for r in runs))
+    stsz = full(b"stsz", bytes(4) + n.to_bytes(4, "big")
+                + b"".join(len(f).to_bytes(4, "big") for f in frames))
+    osize = 8 if co64 else 4
+    stco = full(b"co64" if co64 else b"stco",
+                len(offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(osize, "big") for o in offsets))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    dinf = box(b"dinf", full(b"dref", (1).to_bytes(4, "big")
+                             + full(b"url ", b"", flags=1)))
+    minf = box(b"minf", full(b"vmhd", bytes(8), flags=1) + dinf + stbl)
+    hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"\x00")
+    duration = n * frame_duration
+    mdhd = full(b"mdhd", bytes(8) + timescale.to_bytes(4, "big")
+                + duration.to_bytes(4, "big")
+                + (0x55C4).to_bytes(2, "big") + bytes(2))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    matrix = b"".join(v.to_bytes(4, "big")
+                      for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+    tkhd = full(b"tkhd", bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+                + duration.to_bytes(4, "big") + bytes(16) + matrix
+                + (width << 16).to_bytes(4, "big")
+                + (height << 16).to_bytes(4, "big"), flags=7)
+    mvhd = full(b"mvhd", bytes(8) + timescale.to_bytes(4, "big")
+                + duration.to_bytes(4, "big") + (0x10000).to_bytes(4, "big")
+                + (0x0100).to_bytes(2, "big") + bytes(10) + matrix
+                + bytes(24) + (2).to_bytes(4, "big"))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + box(b"mdat", mdat_payload) + moov
+
+
 # ---------------------------------------------------------------------------
 # Polymorphic UDTF (Spark 4 `analyze`): output schema computed from the
 # call's CONSTANT arguments at plan time.

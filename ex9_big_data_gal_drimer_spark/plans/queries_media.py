@@ -541,3 +541,111 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("alaw_max_dev"), 6).alias("max_alaw_dev"),
         F.round(F.max("adpcm_max_dev"), 6).alias("max_adpcm_dev"),
     )
+
+
+def _text_to_both_video_containers(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The SAME 3 motion-JPEG frames per doc in two containers: a
+    RIFF AVI ('00dc' chunks) and an ISO-BMFF MP4 (QuickTime 'jpeg'
+    sample entries, 2 samples per chunk so the stsc run expansion is
+    on the audited path)."""
+    from ..operators.udtf_media import make_jpeg_gray, make_mp4_mjpeg
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", bytes(56))
+        + list_chunk(
+            b"strl", chunk(b"strh", bytes(56)) + chunk(b"strf", bytes(40))
+        ),
+    )
+    for pdf in batches:
+        avis, mp4s = [], []
+        for t in pdf["text"]:
+            raw = (t or " ").encode("utf-8", "replace")
+            frames = [
+                make_jpeg_gray(16, 16, raw[k:] + raw + bytes([k]))
+                for k in range(3)
+            ]
+            movi = list_chunk(
+                b"movi", b"".join(chunk(b"00dc", f) for f in frames)
+            )
+            body = b"AVI " + hdrl + movi
+            avis.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            mp4s.append(make_mp4_mjpeg(frames, 16, 16, samples_per_chunk=2))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "avi": avis, "mp4": mp4s}
+        )
+
+
+@register("video_container_parity")
+def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video container-transparency audit (round 10): each doc's 3
+    motion-JPEG frames wrapped BOTH as RIFF AVI chunks and as an
+    ISO-BMFF MP4 with a real sample table (stsd 'jpeg', stsc packing
+    2 samples per chunk, stco offsets into mdat), both walked by the
+    REAL container decoders (multimodal.decode_avi_frames /
+    decode_mp4_frames) under real_decoder=True.  Identical JPEG
+    sample bytes must decode to identical frame counts and feature
+    vectors — a broken box walk, stale chunk offset, or stsc
+    mis-expansion flips n_frame_mismatch / n_feature_mismatch off 0.
+    The audit a multimodal-ingest pipeline runs before trusting a
+    remuxed corpus.  Rows-only: DuckDB cannot walk either container;
+    the walks themselves are pinned by tests/test_multimodal.py's
+    independent test-side builders (_avi / _mp4) and the
+    muxer-vs-AVI parity test.
+
+    Scale shape: synthesis and both walks are Arrow-batched
+    mapInPandas; the join is a broadcast-size equi-join on media_id
+    at the audited grain and the output is one bounded summary row."""
+    from ..operators.multimodal import extract_video_features
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    both = docs.mapInPandas(
+        _text_to_both_video_containers,
+        "media_id long, avi binary, mp4 binary",
+    )
+    avi_f = extract_video_features(
+        both.select("media_id", F.col("avi").alias("payload")),
+        real_decoder=True,
+    ).select(
+        "media_id",
+        F.col("n_frames_sampled").alias("avi_frames"),
+        F.col("frame_features").alias("avi_features"),
+    )
+    mp4_f = extract_video_features(
+        both.select("media_id", F.col("mp4").alias("payload")),
+        real_decoder=True,
+    ).select(
+        "media_id",
+        F.col("n_frames_sampled").alias("mp4_frames"),
+        F.col("frame_features").alias("mp4_features"),
+    )
+    joined = avi_f.join(mp4_f, "media_id")
+    dev = F.aggregate(
+        F.zip_with(
+            "avi_features", "mp4_features", lambda a, b: F.abs(a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(
+            F.when(F.col("avi_frames") == F.col("mp4_frames"), 0).otherwise(1)
+        ).cast("long").alias("n_frame_mismatch"),
+        F.sum(F.when(dev == 0.0, 0).otherwise(1))
+        .cast("long")
+        .alias("n_feature_mismatch"),
+    )

