@@ -146,6 +146,22 @@ _DRIVER_PRIORITY: list[str] = [
 # quantity_weighted_median_price, which re-banked in r10/r09).
 # 48 + 2 new fits the 50-slot window exactly;
 # tools/preflight.py --check-vintage enforces the residue rule.
+# Candidate operator families for the 2 new-oracle seats (round-10
+# precompute — pick 2, implement IN round 11 so the unbanked rows
+# can take their window seats the same round they register):
+#   (a) skyline / dominance query (Pareto-front of parts on
+#       (retailprice, size) per brand): Spark = per-group sort +
+#       running-min window, distributed two-phase (local fronts →
+#       global refine); oracle = NOT EXISTS anti-join — a genuinely
+#       new dominance-query family, integer-exact.
+#   (b) max-concurrent-intervals sweep line (peak concurrent user
+#       sessions per day from sessionized events): +1/-1 endpoint
+#       union → cumulative sum → per-day max; oracle = the same
+#       sweep in SQL window form — the temporal-interval-algebra
+#       family the engine lacks.
+#   (c) join-delta incremental view maintenance (delta rows merged
+#       into a persisted join materialization; oracle = full
+#       recompute) — the join twin of incremental_agg/cc_maintenance.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every

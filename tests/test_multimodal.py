@@ -975,6 +975,49 @@ def test_mp4_malformed_tables_fall_to_none():
     assert decode_mp4_frames(dangling) is None
 
 
+def test_mp4_sample_range_resolution_property():
+    """Property (hypothesis): for ANY sample sizes and chunk packing,
+    resolving the run-length stsc/stco/stsz encoding recovers exactly
+    the contiguous layout the sizes imply — and declaring one extra
+    sample beyond what the chunks place is rejected, not truncated.
+    The reference layout is computed directly from the size list, a
+    genuinely different path from the run expansion under test."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        _mp4_sample_ranges,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=1, max_value=64), min_size=1, max_size=24
+        ),
+        spc=st.integers(min_value=1, max_value=9),
+        base=st.integers(min_value=16, max_value=4096),
+    )
+    def check(sizes, spc, base):
+        n = len(sizes)
+        starts = [base]
+        for s in sizes[:-1]:
+            starts.append(starts[-1] + s)
+        expected = list(zip(starts, sizes))
+        # chunk offsets + runs exactly as a contiguous muxer lays out
+        chunk_sizes = [sizes[i : i + spc] for i in range(0, n, spc)]
+        offsets = [starts[i] for i in range(0, n, spc)]
+        runs = []
+        if len(chunk_sizes) > 1:
+            runs.append((1, spc, 1))
+        if len(chunk_sizes) == 1 or len(chunk_sizes[-1]) != spc:
+            runs.append((len(chunk_sizes), len(chunk_sizes[-1]), 1))
+        assert _mp4_sample_ranges(sizes, offsets, runs) == expected
+        # one phantom sample: stsc/stco place only n -> inconsistent
+        assert _mp4_sample_ranges(sizes + [7], offsets, runs) is None
+
+    check()
+
+
 def test_mp4_spark_video_feature_dispatch(spark):
     """extract_video_features dispatches by container magic in one
     pass: an AVI row and an MP4 row of the SAME frames produce
