@@ -1910,30 +1910,41 @@ def _mp4_sample_ranges(sizes, chunk_offsets, stsc_runs):
     per sample: expand the stsc run-length map (first_chunk,
     samples_per_chunk) against stco/co64 chunk offsets and the stsz
     size list; samples within a chunk are laid out back-to-back.
-    Returns None if the tables are inconsistent (stsc covers fewer
-    samples than stsz declares, run indices non-increasing, or a
-    zero/negative samples-per-chunk) — malformed files land on the
-    None tier, never on silently-partial output."""
-    ranges = []
-    si = 0
+    Returns None if the tables are inconsistent in EITHER direction —
+    the expanded stsc capacity must equal the stsz sample count
+    exactly — or if the runs themselves are malformed (first run not
+    at chunk 1, first_chunk non-increasing or past the chunk table,
+    zero/negative samples-per-chunk).  Malformed files land on the
+    None tier, never on silently-partial or plausibly-shifted
+    output (round-10 review)."""
     n_chunks = len(chunk_offsets)
+    per_chunk = []
+    # note: runs tile chunks contiguously by construction — each run
+    # ends where the next begins — so first-run-at-1 + the strictly
+    # increasing check below make the capacity accounting exact
     for ri, (first, spc, _) in enumerate(stsc_runs):
         if first < 1 or first > n_chunks or spc < 1:
+            return None
+        if ri and first <= stsc_runs[ri - 1][0]:
             return None
         last = (
             stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else n_chunks
         )
-        if last < first:
-            return None
-        for c in range(first, last + 1):
-            off = chunk_offsets[c - 1]
-            for _ in range(spc):
-                if si == len(sizes):
-                    return ranges
-                ranges.append((off, sizes[si]))
-                off += sizes[si]
-                si += 1
-    return ranges if si == len(sizes) else None
+        if last < first or last > n_chunks:
+            return None  # next run starts past the chunk table
+        per_chunk.extend((c, spc) for c in range(first, last + 1))
+    if stsc_runs and stsc_runs[0][0] != 1:
+        return None
+    if sum(spc for _, spc in per_chunk) != len(sizes):
+        return None  # stsc capacity ≠ stsz count: inconsistent
+    ranges, si = [], 0
+    for c, spc in per_chunk:
+        off = chunk_offsets[c - 1]
+        for _ in range(spc):
+            ranges.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    return ranges
 
 
 def decode_mp4_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = None):
@@ -1959,12 +1970,15 @@ def decode_mp4_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = 
     if len(b) < 12 or b[4:8] not in (b"ftyp", b"styp"):
         return None
 
-    def descend(pos, end, want):
+    def descend(pos, end, want, depth=0):
+        # the spec hierarchy under trak is 3 deep (mdia/minf/stbl);
+        # a depth cap keeps crafted deep nesting on the None tier
+        # instead of a RecursionError (round-10 review)
         for cc, s, e in _mp4_boxes(b, pos, end):
             if cc in want:
                 yield cc, s, e
-            if cc in _MP4_CONTAINERS:
-                yield from descend(s, e, want)
+            if cc in _MP4_CONTAINERS and depth < 6:
+                yield from descend(s, e, want, depth + 1)
 
     best = None
     for cc, ms, me in _mp4_boxes(b, 0, len(b)):
@@ -2005,6 +2019,12 @@ def decode_mp4_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = 
     uniform = int.from_bytes(b[s + 4 : s + 8], "big")
     n = int.from_bytes(b[s + 8 : s + 12], "big")
     if uniform:
+        # every sample lives inside the file, so a declared count or
+        # total exceeding the payload length is malformed — checked
+        # BEFORE allocation, or a ~100-byte crafted file could demand
+        # a multi-GB size list (round-10 review)
+        if n > len(b) or uniform * n > len(b):
+            return None
         sizes = [uniform] * n
     else:
         if e - s < 12 + 4 * n:

@@ -313,32 +313,46 @@ def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + len(body).to_bytes(4, "little") + body + pad
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def _avi_container(frames, fourcc: bytes, strf: bytes) -> bytes:
+    """Wrap frame payloads in a minimal RIFF AVI: hdrl (zeroed avih /
+    strh plus the given strf BITMAPINFOHEADER) then a movi LIST of
+    ``fourcc`` chunks — shared by the DIB corpus (video_frames_real)
+    and the MJPEG parity corpus (video_container_parity) so the two
+    syntheses can never diverge (round-10 review)."""
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", bytes(56))
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", bytes(56)) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(fourcc, f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _text_to_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Each doc becomes a 4-frame 8×8 uncompressed-DIB RIFF AVI; frame
     k tiles the text bytes starting at offset 48*k, so consecutive
     frames differ deterministically."""
     w = h = 8
-
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) % 2 else b""
-        return cid + len(body).to_bytes(4, "little") + body + pad
-
-    def list_chunk(ltype: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", ltype + body)
-
     strf = bytearray(40)
     strf[0:4] = (40).to_bytes(4, "little")
     strf[4:8] = w.to_bytes(4, "little")
     strf[8:12] = h.to_bytes(4, "little")
     strf[12:14] = (1).to_bytes(2, "little")
     strf[14:16] = (24).to_bytes(2, "little")  # BI_RGB stays 0
-    hdrl = list_chunk(
-        b"hdrl",
-        chunk(b"avih", bytes(56))
-        + list_chunk(
-            b"strl", chunk(b"strh", bytes(56)) + chunk(b"strf", bytes(strf))
-        ),
-    )
+    strf = bytes(strf)
     frame_bytes = w * h * 3  # stride == w*3, already a multiple of 4
     for pdf in batches:
         payloads = []
@@ -346,11 +360,9 @@ def _text_to_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raw = (t or " ").encode("utf-8", "replace")
             tiled = (raw * ((4 * 48 + frame_bytes) // len(raw) + 1))
             frames = [
-                chunk(b"00db", tiled[48 * k : 48 * k + frame_bytes])
-                for k in range(4)
+                tiled[48 * k : 48 * k + frame_bytes] for k in range(4)
             ]
-            body = b"AVI " + hdrl + list_chunk(b"movi", b"".join(frames))
-            payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            payloads.append(_avi_container(frames, b"00db", strf))
         yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -552,20 +564,6 @@ def _text_to_both_video_containers(
     on the audited path)."""
     from ..operators.udtf_media import make_jpeg_gray, make_mp4_mjpeg
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) % 2 else b""
-        return cid + len(body).to_bytes(4, "little") + body + pad
-
-    def list_chunk(ltype: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", ltype + body)
-
-    hdrl = list_chunk(
-        b"hdrl",
-        chunk(b"avih", bytes(56))
-        + list_chunk(
-            b"strl", chunk(b"strh", bytes(56)) + chunk(b"strf", bytes(40))
-        ),
-    )
     for pdf in batches:
         avis, mp4s = [], []
         for t in pdf["text"]:
@@ -574,11 +572,7 @@ def _text_to_both_video_containers(
                 make_jpeg_gray(16, 16, raw[k:] + raw + bytes([k]))
                 for k in range(3)
             ]
-            movi = list_chunk(
-                b"movi", b"".join(chunk(b"00dc", f) for f in frames)
-            )
-            body = b"AVI " + hdrl + movi
-            avis.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            avis.append(_avi_container(frames, b"00dc", bytes(40)))
             mp4s.append(make_mp4_mjpeg(frames, 16, 16, samples_per_chunk=2))
         yield pd.DataFrame(
             {"media_id": pdf["doc_id"], "avi": avis, "mp4": mp4s}
@@ -612,10 +606,13 @@ def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 50)
     )
+    # cached: both feature branches read this, and recomputing the
+    # lineage would pay the pure-Python JPEG encodes twice
+    # (round-10 review)
     both = docs.mapInPandas(
         _text_to_both_video_containers,
         "media_id long, avi binary, mp4 binary",
-    )
+    ).cache()
     avi_f = extract_video_features(
         both.select("media_id", F.col("avi").alias("payload")),
         real_decoder=True,

@@ -811,12 +811,15 @@ def test_avi_dib_frames_and_spark_video_features(spark):
 
 
 def _mp4(frames, *, codec=b"jpeg", uniform=False, co64=False,
-         largesize_moov=False, stsz_count=None, stsc_runs=None):
+         largesize_moov=False, stsz_count=None, stsc_runs=None,
+         samples_per_chunk=1):
     """Minimal test-side ISO-BMFF builder, INDEPENDENT of the package
-    muxer (make_mp4_mjpeg): trivial one-sample-per-chunk layout unless
-    ``stsc_runs`` overrides, optional uniform stsz (all samples the
-    same size), co64 offsets, and a largesize moov header.  The
-    knobs exist so malformed-table negatives can be hand-built."""
+    muxer (make_mp4_mjpeg): ``samples_per_chunk`` packs consecutive
+    samples into shared chunks (offsets point at every spc-th sample
+    start), ``stsc_runs`` overrides the run table outright for
+    malformed-table negatives, plus optional uniform stsz (all
+    samples the same size), co64 offsets, and a largesize moov
+    header."""
 
     def box(cc, body):
         return (len(body) + 8).to_bytes(4, "big") + cc + body
@@ -826,12 +829,20 @@ def _mp4(frames, *, codec=b"jpeg", uniform=False, co64=False,
 
     frames = [bytes(f) for f in frames]
     n = len(frames)
+    spc = samples_per_chunk
     ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isom")
     base = len(ftyp) + 8
-    offsets, pos = [], base
+    starts, pos = [], base
     for f in frames:
-        offsets.append(pos)
+        starts.append(pos)
         pos += len(f)
+    offsets = [starts[i] for i in range(0, n, spc)]
+    if stsc_runs is None and spc != 1:
+        stsc_runs = []
+        if len(offsets) > 1:
+            stsc_runs.append((1, spc, 1))
+        if len(offsets) == 1 or n % spc:
+            stsc_runs.append((len(offsets), n % spc or spc, 1))
     entry = bytes(6) + b"\x00\x01" + bytes(16) + bytes(4) \
         + (0x00480000).to_bytes(4, "big") * 2 + bytes(4) + b"\x00\x01" \
         + bytes(32) + b"\x00\x18\xff\xff"
@@ -900,9 +911,15 @@ def test_mp4_mjpeg_sample_table_walk():
     uni = _mp4([jpegs[0]] * 3, uniform=True)
     got = decode_mp4_frames(uni)
     assert len(got) == 3 and all(np.array_equal(a, ref[0]) for a in got)
-    # multi-run stsc: 2 samples per chunk with a short trailing chunk
-    packed = _mp4(jpegs, stsc_runs=[(1, 1, 1)])  # baseline above
-    assert decode_mp4_frames(packed) is not None
+    # multi-sample chunks from the INDEPENDENT builder: 2 per chunk
+    # leaves a short trailing chunk (5 = 2+2+1), so the walk must
+    # expand a 2-run stsc against real byte layout (round-10 review)
+    packed = decode_mp4_frames(_mp4(jpegs, samples_per_chunk=2))
+    assert len(packed) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(packed, ref))
+    whole = decode_mp4_frames(_mp4(jpegs, samples_per_chunk=5))
+    assert len(whole) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(whole, ref))
 
 
 def test_mp4_package_muxer_parity_with_avi():
@@ -966,6 +983,37 @@ def test_mp4_malformed_tables_fall_to_none():
     assert decode_mp4_frames(
         _mp4([jpeg] * 3, stsc_runs=[(1, 0, 1)])
     ) is None
+    # LATER run past the chunk table: must be None, not IndexError
+    # while run 0 walks 99 phantom chunks (round-10 review)
+    assert decode_mp4_frames(
+        _mp4([jpeg] * 3, stsc_runs=[(1, 1, 1), (100, 1, 1)])
+    ) is None
+    # stsc capacity EXCEEDS stsz count: plausible-but-shifted offsets
+    # must be rejected, not resolved (round-10 review)
+    assert decode_mp4_frames(
+        _mp4([jpeg] * 3, stsc_runs=[(1, 9, 1)])
+    ) is None
+    # first run not at chunk 1 -> unreferenced leading chunks
+    assert decode_mp4_frames(
+        _mp4([jpeg] * 3, stsc_runs=[(2, 1, 1)])
+    ) is None
+    # uniform stsz with a crafted huge count: rejected BEFORE the
+    # size-list allocation, not a multi-GB MemoryError (round-10
+    # review) — patch the count field of the real uniform file
+    uni = _mp4([jpeg] * 3, uniform=True)
+    at = uni.index(b"stsz") + 4 + 4 + 4  # fourcc + ver/flags + size
+    huge = uni[:at] + (0xFFFFFFFF).to_bytes(4, "big") + uni[at + 4:]
+    assert decode_mp4_frames(huge) is None
+    # crafted deep container nesting: None via the depth cap, not a
+    # RecursionError (round-10 review)
+    def _box(cc, body):
+        return (len(body) + 8).to_bytes(4, "big") + cc + body
+    core = b""
+    for _ in range(3000):
+        core = _box(b"stbl", core)
+    deep = _box(b"ftyp", b"isom" + bytes(8)) \
+        + _box(b"moov", _box(b"trak", core))
+    assert decode_mp4_frames(deep) is None
     # sample table pointing past EOF (offsets valid, mdat cut):
     # moov is after mdat here, so cut INSIDE mdat but keep a
     # reassembled moov -> offsets dangle
@@ -1014,6 +1062,10 @@ def test_mp4_sample_range_resolution_property():
         assert _mp4_sample_ranges(sizes, offsets, runs) == expected
         # one phantom sample: stsc/stco place only n -> inconsistent
         assert _mp4_sample_ranges(sizes + [7], offsets, runs) is None
+        # the OTHER direction: stsc capacity exceeding the stsz count
+        # must also be None, never plausibly-shifted ranges
+        bumped = runs[:-1] + [(runs[-1][0], runs[-1][1] + 1, 1)]
+        assert _mp4_sample_ranges(sizes, offsets, bumped) is None
 
     check()
 
