@@ -2322,3 +2322,101 @@ def test_jpeg_progressive_trailing_fill_bytes_return_none():
         np.asarray(decode_jpeg_pixels(prog[:-2] + b"\xff\xff\xff")),
         np.asarray(decode_jpeg_pixels(prog)),
     )
+
+
+def test_corruption_grid_no_decoder_ever_raises():
+    """Deterministic corruption grid over EVERY real decode path: a
+    valid fixture per format is truncated at a spread of offsets,
+    bit-flipped at a spread of positions, and mid-spliced with
+    garbage — each mutant must come back as None or a decoded value,
+    NEVER an exception.  This is the task-survival contract of the
+    mapInPandas media tiers stated as one test: one malformed payload
+    in a 100 TB corpus must cost one stub row, not the executor task.
+    (The round-10 review found three crafted-MP4 escapes; this grid
+    pins the whole family against regressions.)"""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_image_pixels,
+        decode_mp4_frames,
+        decode_wav_samples,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        g711_compress,
+        ima_adpcm_compress,
+        make_wav,
+    )
+
+    import numpy as np
+
+    px = _PIXELS5
+    jpeg = _jpeg_real([[(120, 30, 200)] * 8 for _ in range(8)])
+    xs = np.round(
+        9000.0 * np.sin(2 * np.pi * 3 * np.arange(600) / 600)
+    ).astype(np.int64)
+    adp, ba = ima_adpcm_compress(xs, spb=101)
+    fixtures = [
+        ("bmp", decode_image_pixels, _bmp(px)),
+        ("ppm", decode_image_pixels, _ppm(px)),
+        ("png", decode_image_pixels, _png_real(px)),
+        ("png-adam7", decode_image_pixels, _png_adam7(px)),
+        ("gif", decode_image_pixels, _gif_real(px)),
+        ("gif-interlaced", decode_image_pixels, _gif_real(px, interlace=True)),
+        ("jpeg-baseline", decode_image_pixels, jpeg),
+        (
+            "jpeg-progressive",
+            decode_image_pixels,
+            _jpeg_progressive([[(40, 90, 200)] * 8 for _ in range(8)]),
+        ),
+        ("wav-pcm16", decode_wav_samples, _wav(seconds=0.05)),
+        ("wav-pcm8", decode_wav_samples, _wav(seconds=0.05, bits=8)),
+        (
+            "wav-ulaw",
+            decode_wav_samples,
+            make_wav(7, 8, g711_compress(xs, "ulaw")),
+        ),
+        (
+            "wav-alaw",
+            decode_wav_samples,
+            make_wav(6, 8, g711_compress(xs, "alaw")),
+        ),
+        (
+            "wav-adpcm",
+            decode_wav_samples,
+            make_wav(17, 4, adp, block_align=ba),
+        ),
+        (
+            "wav-float32",
+            decode_wav_samples,
+            make_wav(3, 32, (xs / 32768.0).astype("<f4").tobytes()),
+        ),
+        ("avi-mjpeg", decode_avi_frames, _avi([jpeg] * 2)),
+        ("mp4-mjpeg", decode_mp4_frames, _mp4([jpeg] * 3)),
+        (
+            "mp4-packed",
+            decode_mp4_frames,
+            _mp4([jpeg] * 5, samples_per_chunk=2, co64=True),
+        ),
+    ]
+
+    def mutants(raw: bytes):
+        L = len(raw)
+        for k in range(0, L, max(1, L // 12)):  # truncations
+            yield f"trunc@{k}", raw[:k]
+        for pos in range(0, L, max(1, L // 40)):  # single-byte flips
+            yield (
+                f"flip@{pos}",
+                raw[:pos] + bytes([raw[pos] ^ 0xFF]) + raw[pos + 1 :],
+            )
+        mid = L // 2
+        yield "splice", raw[:mid] + b"\xde\xad\xbe\xef" + raw[mid:]
+        yield "doubled", raw + raw
+
+    for name, decoder, payload in fixtures:
+        assert decoder(payload) is not None, f"{name}: pristine must decode"
+        for tag, bad in mutants(bytes(payload)):
+            try:
+                decoder(bad)
+            except Exception as exc:  # noqa: BLE001 — the contract under test
+                raise AssertionError(
+                    f"{name} {tag}: decoder raised {type(exc).__name__}: {exc}"
+                ) from exc
