@@ -2019,11 +2019,11 @@ def decode_mp4_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = 
     uniform = int.from_bytes(b[s + 4 : s + 8], "big")
     n = int.from_bytes(b[s + 8 : s + 12], "big")
     if uniform:
-        # every sample lives inside the file, so a declared count or
-        # total exceeding the payload length is malformed — checked
-        # BEFORE allocation, or a ~100-byte crafted file could demand
-        # a multi-GB size list (round-10 review)
-        if n > len(b) or uniform * n > len(b):
+        # every sample lives inside the file (uniform >= 1 here), so a
+        # declared total exceeding the payload length is malformed —
+        # checked BEFORE allocation, or a ~100-byte crafted file could
+        # demand a multi-GB size list (round-10 review)
+        if uniform * n > len(b):
             return None
         sizes = [uniform] * n
     else:

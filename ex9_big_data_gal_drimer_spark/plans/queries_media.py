@@ -18,6 +18,7 @@ mapInPandas over a hash-repartitioned corpus — the documented
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -322,13 +323,12 @@ def _riff_list(ltype: bytes, body: bytes) -> bytes:
     return _riff_chunk(b"LIST", ltype + body)
 
 
-def _avi_container(frames, fourcc: bytes, strf: bytes) -> bytes:
-    """Wrap frame payloads in a minimal RIFF AVI: hdrl (zeroed avih /
-    strh plus the given strf BITMAPINFOHEADER) then a movi LIST of
-    ``fourcc`` chunks — shared by the DIB corpus (video_frames_real)
-    and the MJPEG parity corpus (video_container_parity) so the two
-    syntheses can never diverge (round-10 review)."""
-    hdrl = _riff_list(
+@lru_cache(maxsize=8)
+def _avi_hdrl(strf: bytes) -> bytes:
+    """Constant header chain per strf — memoized so the per-row
+    container wrap doesn't rebuild it (the hoist the pre-refactor
+    per-partition code had)."""
+    return _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", bytes(56))
         + _riff_list(
@@ -336,6 +336,15 @@ def _avi_container(frames, fourcc: bytes, strf: bytes) -> bytes:
             _riff_chunk(b"strh", bytes(56)) + _riff_chunk(b"strf", strf),
         ),
     )
+
+
+def _avi_container(frames, fourcc: bytes, strf: bytes) -> bytes:
+    """Wrap frame payloads in a minimal RIFF AVI: hdrl (zeroed avih /
+    strh plus the given strf BITMAPINFOHEADER) then a movi LIST of
+    ``fourcc`` chunks — shared by the DIB corpus (video_frames_real)
+    and the MJPEG parity corpus (video_container_parity) so the two
+    syntheses can never diverge (round-10 review)."""
+    hdrl = _avi_hdrl(bytes(strf))
     movi = _riff_list(b"movi", b"".join(_riff_chunk(fourcc, f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
@@ -607,8 +616,11 @@ def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
     )
     # cached: both feature branches read this, and recomputing the
-    # lineage would pay the pure-Python JPEG encodes twice
-    # (round-10 review)
+    # lineage would pay the pure-Python JPEG encodes twice (round-10
+    # review).  Left persisted by the dedup.py / queries_parity.py
+    # precedent: CacheManager dedupes by logical plan so repeated
+    # invocations hold ONE ~50-row entry per sf_dir, and
+    # catalog.release_caches drops it with the rest.
     both = docs.mapInPandas(
         _text_to_both_video_containers,
         "media_id long, avi binary, mp4 binary",
