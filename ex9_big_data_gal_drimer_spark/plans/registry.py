@@ -23,6 +23,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Oracles WRITTEN and pytest-verified but NOT yet driver-registered.
+#: The rolling 50-slot re-verification window caps the registry at
+#: ~200 oracle rows (50 slots x 4-round horizon); when a round's
+#: window is full of mandatory vintage re-verifies, new queries park
+#: their oracle SQL here (tests/test_staged_oracles.py runs the same
+#: differential as test_oracle_parity.py) and flip to ``oracle=`` the
+#: round a seat opens — registration then needs no new engineering.
+STAGED_ORACLES: dict[str, str] = {}
+
 #: Queries that run Spark actions during plan CONSTRUCTION by
 #: documented design (fixpoint loops, persisted-state writes,
 #: model-sized collects).  Single source of truth for bench.py
@@ -53,15 +62,27 @@ ITERATIVE_CONSTRUCTION: set[str] = {
 }
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query (and its DuckDB oracle SQL) to the registry."""
+def register(
+    name: str, oracle: str | None = None, staged_oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and its DuckDB oracle SQL) to the registry.
+
+    ``staged_oracle`` holds a fully-written oracle for a query that
+    cannot take a driver-window seat this round (window full of
+    mandatory re-verifies); it is pytest-verified only.  Promoting it
+    is a one-word edit: ``staged_oracle=`` → ``oracle=``.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is not None and staged_oracle is not None:
+            raise ValueError(f"{name}: oracle and staged_oracle are exclusive")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
+        if staged_oracle is not None:
+            STAGED_ORACLES[name] = textwrap.dedent(staged_oracle).strip()
         return fn
 
     return deco
