@@ -233,9 +233,17 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
     )
+    # One pass, not a self-union: a union's two branches would each
+    # recompute the sessionize windows (two scans of events); explode
+    # emits both endpoints from the single spans pipeline.
     endpoints = spans.select(
-        F.col("start_ts").alias("ts"), F.lit(1).alias("delta")
-    ).unionByName(spans.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta")))
+        F.explode(
+            F.array(
+                F.struct(F.col("start_ts").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.ts", "e.delta")
     w_day = (
         Window.partitionBy("day")
         .orderBy("ts", "delta")
