@@ -36,6 +36,17 @@ import statistics
 import sys
 import time
 
+# 16 GiB JVM for EVERY bench leg (overridable via the same env var):
+# suite-long cache accumulation (base tables + suite-shared
+# edge/posting caches across the full registry) pressures the 8 GiB
+# default's storage fraction at the 230-query registry size — first
+# measured as an sf1 OOM (close_round.sh), then at sf0.1 as a uniform
+# ~9 % GC-pressure inflation on UNTOUCHED queries (r10 8 GiB suite
+# 67.3 s vs 59.0 s at 16 GiB, shared-223 median vs r09 1.09 → 0.94).
+# Heap size changes GC headroom, not per-query plan timings.  Must be
+# set before the JVM launches, hence before get_spark() runs.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+
 from ex9_big_data_gal_drimer_spark.catalog import cache_tables
 from ex9_big_data_gal_drimer_spark.plans import QUERIES
 from ex9_big_data_gal_drimer_spark.session import get_spark

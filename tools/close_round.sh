@@ -35,12 +35,11 @@ echo "=== scaling benches ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_001.json python bench.py > /tmp/scaling_001_${R}.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_BENCH_OUT=SCALING_sf0_01.json python bench.py > /tmp/scaling_01_${R}.json
 if [ -f data/sf1/lineitem.parquet ] || python tools/make_sf1.py; then
-  # 16g JVM for the 10x-data leg: the suite-long cache accumulation
-  # (base tables + suite-shared edge/posting caches across the full
-  # registry) crossed the 8g default's storage fraction at the
-  # round-10 registry size and OOMed the tail — heap size changes GC
-  # headroom, not per-query plan timings.
-  SPARK_DRIVER_MEMORY=16g SPARK_GRAFT_SF_DIR=data/sf1 SPARK_GRAFT_BENCH_OUT=SCALING_sf1.json python bench.py > /tmp/scaling_1_${R}.json
+  # bench.py now defaults every leg to a 16g JVM (first measured as an
+  # sf1 OOM here, then as a uniform ~9% GC-pressure inflation at
+  # sf0.1 once the registry hit 230 queries — see bench.py header);
+  # the env var stays overridable.
+  SPARK_GRAFT_SF_DIR=data/sf1 SPARK_GRAFT_BENCH_OUT=SCALING_sf1.json python bench.py > /tmp/scaling_1_${R}.json
 fi
 echo "=== summary + consistency gate ==="
 python tools/summarize_artifacts.py ${R}
