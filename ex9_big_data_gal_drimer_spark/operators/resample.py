@@ -16,14 +16,22 @@ here).
 Scale: state per task is one group's rows plus its grid — bounded by
 the span/frequency ratio, not the corpus.  Skewed keys (one user with
 a year of events) are the risk; AQE skew-split does not apply inside
-a grouped-map, so pathological keys should be range-split upstream
-(split the span, resample the pieces, concatenate — forward-fill only
-needs one pre-boundary row carried over).
+a grouped-map, so pathological keys are range-split UPSTREAM via
+``chunk_hours``: the span splits on fixed hour-aligned chunk
+boundaries, each (key, chunk) resamples independently, and
+forward-fill across a boundary needs exactly one carried observation
+— the latest event strictly before the chunk start, computed with a
+calendar-sized per-key window (not a second pass over the facts) so
+a chunk holding no events still fills from the carry.  The chunked
+output is row-identical to the single-group path
+(tests/test_resample_skew.py plants one user holding ~half the
+events and asserts exact equality, plus boundary/empty-chunk pins).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def resample_hourly_ffill(
@@ -31,6 +39,7 @@ def resample_hourly_ffill(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    chunk_hours: int | None = None,
 ) -> DataFrame:
     """Per-key hourly grid from floor(min ts) to floor(max ts), each
     grid point carrying the value of the latest event at-or-before it
@@ -45,7 +54,20 @@ def resample_hourly_ffill(
     than hardcoding long/double, which would rely on silent Arrow
     coercion for any other input).  Only the grid column is fixed
     (timestamp_ntz, hourly).
+
+    ``chunk_hours`` (the grouped-map skew mitigation, round-10 verdict
+    ask #4): when set, each key's span is range-split on hour-aligned
+    boundaries every ``chunk_hours`` hours and the grouped-map runs
+    per (key, chunk) — per-task state becomes bounded by the CHUNK
+    grid, not the key's whole span, so one pathological key spreads
+    over span/chunk_hours parallel tasks instead of serializing a
+    single Python worker.  Output is row-identical to the default
+    single-group path.
     """
+    if chunk_hours is not None:
+        return _resample_hourly_ffill_chunked(
+            events, key_col, ts_col, value_col, int(chunk_hours)
+        )
     in_schema = {f.name: f.dataType.simpleString() for f in events.schema.fields}
     out_schema = (
         f"{key_col} {in_schema[key_col]}, hour_ts timestamp_ntz, "
@@ -83,4 +105,142 @@ def resample_hourly_ffill(
         .repartition(par, key_col)
         .groupBy(key_col)
         .applyInPandas(fill, out_schema)
+    )
+
+
+def _resample_hourly_ffill_chunked(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    chunk_hours: int,
+) -> DataFrame:
+    """Range-split variant: grouped-map per (key, chunk) with the
+    forward-fill carry injected as one extra observation per chunk.
+
+    Plan shape (all pre-grouped relations are calendar-sized — one row
+    per key or per (key, chunk) — so every stage before the final
+    grouped-map shuffles a relation two-plus orders of magnitude under
+    the fact table):
+
+    1. tag each event with its epoch-hour and hour-aligned chunk id;
+    2. per-key grid bounds ``[lo, hi]`` (map-side-combinable groupBy);
+    3. the DENSE chunk list per key (sequence + explode — includes
+       event-less chunks, which still own grid points and fill purely
+       from carry);
+    4. per (key, chunk) latest observation (``max`` / ``max_by``);
+    5. carry per chunk = latest observation over all PRIOR chunks —
+       ``last(..., ignorenulls)`` over the dense list with an
+       unbounded-preceding-to--1 frame (a per-key window over the
+       calendar-sized relation, never over facts);
+    6. union real events with carry pseudo-observations (the carry
+       keeps its ORIGINAL timestamp, strictly before the chunk start,
+       so merge_asof ordering is untouched), join each row to its
+       chunk's grid slice, grouped-map per (key, chunk).
+
+    Every chunk in the dense list is guaranteed at least one
+    observation row: the first chunk contains the key's earliest
+    event, and every later chunk's carry is non-null by construction
+    — so the inner join at step 6 drops no grid points.
+    """
+    if chunk_hours <= 0:
+        raise ValueError(f"chunk_hours must be positive, got {chunk_hours}")
+    in_schema = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    out_schema = (
+        f"{key_col} {in_schema[key_col]}, hour_ts timestamp_ntz, "
+        f"filled_value {in_schema[value_col]}"
+    )
+    # Epoch-hour arithmetic via unix_timestamp under the pinned UTC
+    # session timezone (session.py): hour-aligned chunk boundaries and
+    # the same grid as the single-group path's pandas floor("h").
+    sec = F.unix_timestamp(F.col(ts_col))
+    ev = events.select(
+        key_col,
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__val"),
+        F.floor(sec / 3600).cast("long").alias("__hour"),
+        F.floor(sec / (3600 * chunk_hours)).cast("long").alias("__chunk"),
+    )
+    bounds = ev.groupBy(key_col).agg(
+        F.min("__hour").alias("__lo"), F.max("__hour").alias("__hi")
+    )
+    chunks = bounds.select(
+        key_col,
+        "__lo",
+        "__hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__lo") / chunk_hours).cast("long"),
+                F.floor(F.col("__hi") / chunk_hours).cast("long"),
+            )
+        ).alias("__chunk"),
+    )
+    lasts = ev.groupBy(key_col, "__chunk").agg(
+        F.max("__ts").alias("__last_ts"),
+        F.max_by("__val", "__ts").alias("__last_val"),
+    )
+    w_prior = (
+        Window.partitionBy(key_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = (
+        chunks.join(lasts, [key_col, "__chunk"], "left")
+        .select(
+            key_col,
+            "__chunk",
+            F.greatest(F.col("__lo"), F.col("__chunk") * chunk_hours).alias("__glo"),
+            F.least(
+                F.col("__hi"), (F.col("__chunk") + 1) * chunk_hours - 1
+            ).alias("__ghi"),
+            F.last("__last_ts", ignorenulls=True).over(w_prior).alias("__carry_ts"),
+            F.last("__last_val", ignorenulls=True).over(w_prior).alias("__carry_val"),
+        )
+    )
+    carry_obs = grid.filter(F.col("__carry_ts").isNotNull()).select(
+        key_col,
+        "__chunk",
+        F.col("__carry_ts").alias("__ts"),
+        F.col("__carry_val").alias("__val"),
+    )
+    all_obs = ev.select(key_col, "__chunk", "__ts", "__val").unionByName(carry_obs)
+    framed = all_obs.join(
+        grid.select(key_col, "__chunk", "__glo", "__ghi"), [key_col, "__chunk"]
+    )
+
+    def fill_chunk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__ts")
+        glo = int(pdf["__glo"].iloc[0])
+        ghi = int(pdf["__ghi"].iloc[0])
+        grid_idx = pd.date_range(
+            pd.Timestamp(glo * 3600, unit="s"),
+            pd.Timestamp(ghi * 3600, unit="s"),
+            freq="h",
+        )
+        obs = pd.DataFrame(
+            {
+                "__ts": pdf["__ts"].astype("datetime64[ns]"),
+                "filled_value": pdf["__val"],
+            }
+        )
+        out = pd.merge_asof(
+            pd.DataFrame({"hour_ts": grid_idx}),
+            obs,
+            left_on="hour_ts",
+            right_on="__ts",
+            direction="backward",
+        )
+        out[key_col] = pdf[key_col].iloc[0]
+        return out[[key_col, "hour_ts", "filled_value"]]
+
+    # Same explicit-count repartition rationale as the single-group
+    # path: the grouped-map stage is CPU-bound Python and must not be
+    # AQE-coalesced to one task.
+    par = events.sparkSession.sparkContext.defaultParallelism
+    return (
+        framed.repartition(par, key_col, "__chunk")
+        .groupBy(key_col, "__chunk")
+        .applyInPandas(fill_chunk, out_schema)
     )

@@ -60,111 +60,98 @@ from . import queries_analytics6  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-10 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
+    # ROUND-11 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
     # oracle-bearing queries are seated; rows-only tiers are never
     # seated (the driver banks nothing for them).
-    # (a) changed-plan re-verify (1): the round-9 staged top-k rewrite
-    #     of levenshtein_similar_parts (tier-0 equi-join + 51-key group
-    #     trim) — its banked r05 row verified the OLD exhaustive plan;
-    #     oracle-green locally at sf0.001/0.01/0.1, MUST bank the new
-    #     plan first (round-9 verdict ask #1).
-    # (b) round-10 additions (3, inside the <=3 new-oracle budget —
-    #     round-9 verdict ask #4): weighted-quantile generalization of
-    #     the two-phase bucketed median, incremental CC maintenance
-    #     (graph twin of incremental_agg_maintenance, oracle = full
-    #     recompute), and the clamped-accumulator fold (non-associative
-    #     per-key scan, F.aggregate == DuckDB list_reduce).
-    # (c) rolling re-verification: ALL 46 r05-vintage rows (age 5 at
-    #     the r10 bank; tools/preflight.py --check-vintage enforces).
+    # (a) round-11 promotions (2): the two staged-oracle queries built
+    #     late round 10 (queries_analytics6.py) take the registry's two
+    #     permanent spare seats — skyline_parts_pareto (sort-based
+    #     per-brand Pareto front vs quadratic NOT-EXISTS oracle) and
+    #     peak_concurrent_sessions (distributed two-phase sweep line vs
+    #     DuckDB's global-window sweep; pre-event-level semantics fix
+    #     from round-10 ADVICE applied to both plan and oracle before
+    #     this first banking).  Both were differentially verified at
+    #     every r10 pytest via tests/test_staged_oracles.py.
+    # (b) rolling re-verification: ALL 48 r06-vintage rows (age 5 at
+    #     the r11 bank; tools/preflight.py --check-vintage enforces) —
+    #     the r06 bank minus levenshtein_similar_parts (re-banked r10)
+    #     and quantity_weighted_median_price (re-banked r09).
     #     Alphabetical (all same vintage).
-    "levenshtein_similar_parts",
-    "weighted_quantiles_price",
-    "incremental_cc_maintenance",
-    "capped_running_balance",
-    "adaptive_quality_threshold",
-    "benford_first_digit_audit",
-    "char_window_duplication",
-    "daily_revenue_gapfill_interp",
-    "daily_revenue_moving_median",
-    "domain_quality_cap",
-    "embedding_label_cohesion",
-    "embedding_quantization_error",
-    "event_transition_matrix",
-    "gini_revenue_by_nation",
-    "grouping_sets_sql",
-    "hard_negative_mining",
-    "hash_bucket_balance_audit",
-    "join_key_skew_audit",
-    "knn_ivf_oracle_fixed_centroids",
-    "lang_entropy_by_source",
-    "layout_file_audit",
-    "merge_sink_upsert_totals",
-    "minhash_estimate_quality_md5",
-    "minhash_lsh_oracle_md5",
-    "numeric_corr_matrix_lineitem",
-    "orders_date_parts",
-    "q1_nation_order_stats",
-    "q2_urgent_orders_by_nation",
-    "q3_order_status_breakdown",
-    "q4_nation_rank",
-    "schema_evolution_scan",
-    "simhash_hamming_oracle_md5",
-    "source_unigram_divergence",
-    "source_vocab_overlap",
-    "time_weighted_avg_value",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_part_promotion",
-    "tpch_q21_bucketed",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit",
-    "union_high_value_customers",
-    "user_active_day_streaks",
-    "welch_ttest_purchase_view",
+    "skyline_parts_pareto",
+    "peak_concurrent_sessions",
+    "acctbal_percentile_profile",
+    "asof_latest_purchase",
+    "bm25_rank_docs",
+    "bpe_token_stats",
+    "bucketed_join_segment_revenue",
+    "case_map_event_severity",
+    "chunk_documents",
+    "cube_status_priority",
+    "curate_training_corpus",
+    "customer_order_gaps",
+    "customers_with_orders_semi",
+    "customers_without_orders_anti",
+    "dataset_split_assign",
+    "dedup_apply_ngram",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",
+    "doc_fingerprint_stats",
+    "embedding_stats_by_label",
+    "event_type_rates",
+    "events_click_purchase_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_tumbling_1h",
+    "json_extract_events",
+    "knn_bruteforce_cosine",
+    "lang_distribution",
+    "latest_event_per_user",
+    "multiset_ops_lineitem",
+    "nation_orders_others_bucket",
+    "order_price_quantiles",
+    "orders_by_month",
+    "pivot_status_by_priority",
+    "pricing_summary",
+    "q5_part_token_stats",
+    "q6_customer_concentration",
+    "regional_revenue",
+    "revenue_top_orders",
+    "rollup_region_nation",
+    "sample_md5_stratified_orders",
+    "sample_md5_topn_orders",
+    "set_ops_customers",
+    "skew_salted_revenue",
+    "text_quality_by_source",
+    "top_orders_per_nation",
+    "unpivot_priority_counts",
+    "user_path_top10",
+    "word_freq_top20",
 ]
 # 50 priority entries fill the driver's 50-slot window exactly
 # (checked below).  Every other query rides on banked green rows
-# (CORRECTNESS_r01-r09) plus the local differential suite, which
+# (CORRECTNESS_r01-r10) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-10 window freeze: registry 227 queries / 198 oracles (the 3
-# round-10 additions are all seated; +3 late-round-10 rows-only
-# staged-oracle queries in queries_analytics6.py → 230 total), 195
-# banked green + 3 new;
-# vintages after CORRECTNESS_r09: 46×r05, 49×r06 (incl.
-# levenshtein_similar_parts), 50×r08, 50×r09.  After CORRECTNESS_r10
-# banks this window, no row is older than r06 (age 4 — the oldest
-# the rotation plan allows) and cohorts are 48×r06, 50×r08, 50×r09,
-# 50×r10.
+# round-11 window freeze: registry 230 queries / 200 oracles (198
+# banked green + the 2 promotions; join_delta_view_maintenance stays
+# staged-oracle rows-only forever — capacity).  Vintages after
+# CORRECTNESS_r10: 48×r06, 50×r08, 50×r09, 50×r10.  After
+# CORRECTNESS_r11 banks this window, cohorts are 50×r08, 50×r09,
+# 50×r10, 50×r11 — no banked row older than age 3, and the 200-row
+# steady state is exactly full.
 #
-# ROUND-11 ROTATION (precomputed): prepend any round-11 additions or
-# changed-plan re-verifies (≤2 at this backlog), then the 48
-# r06-vintage rows (age 5 at the r11 bank — all MUST be seated;
-# the r06 bank minus levenshtein_similar_parts and
-# quantity_weighted_median_price, which re-banked in r10/r09).
-# 48 + 2 new fits the 50-slot window exactly;
-# tools/preflight.py --check-vintage enforces the residue rule.
-# The 2 new-oracle seats are PRE-BUILT (queries_analytics6.py, late
-# round 10): all three candidate families are implemented, registered
-# rows-only, and their oracle SQL is STAGED (registry.STAGED_ORACLES,
-# differentially verified by tests/test_staged_oracles.py at every
-# pytest run).  Round-11 promotion is a one-word edit per query
-# (``staged_oracle=`` → ``oracle=``) plus seating:
-#   (a) skyline_parts_pareto — sort-based per-brand Pareto front vs
-#       the NOT-EXISTS dominance anti-join oracle → SEAT 1.
-#   (b) peak_concurrent_sessions — distributed two-phase sweep line
-#       vs DuckDB's global-window sweep → SEAT 2.
-#   (c) join_delta_view_maintenance — upsert-merge of a restated
-#       delta into a persisted join materialization vs full
-#       recompute — stays STAGED indefinitely: the steady-state
-#       oracle capacity is 50 slots x 4-round horizon = 200 rows and
-#       seats (a)+(b) fill it (198 + 2); its IVM family is already
-#       oracle-banked twice (incremental_agg/cc_maintenance).
+# ROUND-12 ROTATION (precomputed): there is NO age-5 cohort at the
+# r12 bank (the r07 cohort is empty — everything r07-era re-banked in
+# r08), so no seat is mandatory; but the 50×r08 rows reach age 5 at
+# the r13 bank, and seating them in r12 keeps the permanent 4-round
+# cadence (r12→r08 cohort, r13→r09, r14→r10, r15→r11, ...) with the
+# window exactly full each round.  Seat all 50 r08-vintage rows in
+# r12, displacing any of them only for changed-plan re-verifies
+# (which must then seat no later than the cohort's age-5 round).
+# Past the 200-oracle capacity, new queries register rows-only with
+# ``staged_oracle=`` (registry.STAGED_ORACLES, differentially
+# verified by tests/test_staged_oracles.py at every pytest run) —
+# that is the permanent growth mode.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every

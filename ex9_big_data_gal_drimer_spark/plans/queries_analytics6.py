@@ -9,15 +9,16 @@ the round-11 rotation (plans/__init__.py ROUND-11 ROTATION note) —
 - **join-delta incremental view maintenance**: the join twin of
   incremental_agg_maintenance / incremental_cc_maintenance.
 
-The round-10 driver window is fully occupied by mandatory r05-vintage
-re-verifies plus the three round-10 additions, and the rolling
-window's steady-state oracle capacity is 50 slots x 4-round horizon =
-200 rows (198 occupied after round 10).  So these register ROWS-ONLY
-this round with their oracles STAGED (``staged_oracle=`` — same
-differential run by tests/test_staged_oracles.py at every pytest):
-round 11 promotes skyline + sweep line into its two permanent spare
-seats by renaming the keyword; the IVM twin stays pytest-pinned (its
-family is already oracle-banked twice).
+Built late round 10 with all three oracles STAGED (the r10 window was
+full of mandatory r05-vintage re-verifies).  Round 11 promoted
+skyline + sweep line into the registry's two permanent spare seats
+(``staged_oracle=`` → ``oracle=``; both seated in the r11 driver
+window) — the steady-state oracle capacity of 50 slots x 4-round
+horizon = 200 rows is now exactly full.  The IVM twin stays
+staged-oracle pytest-pinned indefinitely (capacity; its family is
+already oracle-banked twice via incremental_agg/cc_maintenance), and
+tests/test_staged_oracles.py keeps running the same differential for
+it at every pytest.
 
 Scale notes (100 TB) are in each docstring; all three are two-phase
 shapes: a keyed shrink first (distinct (brand,price,size) /
@@ -43,7 +44,7 @@ from .registry import ITERATIVE_CONSTRUCTION, register
 
 @register(
     "skyline_parts_pareto",
-    staged_oracle="""
+    oracle="""
     WITH sky AS (
         SELECT p.p_brand, p.p_retailprice, p.p_size, p.p_partkey
         FROM part p
@@ -137,7 +138,7 @@ def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "peak_concurrent_sessions",
-    staged_oracle="""
+    oracle="""
     WITH ordered AS (
         SELECT user_id, ts, event_id,
                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -170,7 +171,7 @@ def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM endpoints
     )
     SELECT day,
-           CAST(MAX(run) AS BIGINT) AS peak_concurrent,
+           CAST(MAX(run - LEAST(delta, 0)) AS BIGINT) AS peak_concurrent,
            CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_sessions_started
     FROM swept
@@ -184,7 +185,11 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-min-gap sessionization the banked sessionize_events_gap pins;
     each span [start, end] emits a +1 at start and a -1 at end, the
     running sum over endpoints ordered by (ts, delta) is the live
-    concurrency, and the per-day max of that sum is the answer.
+    concurrency, and the per-day max of the PRE-EVENT level —
+    ``run - LEAST(delta, 0)``, i.e. the level while a -1's session
+    was still open — is the answer.  The pre-event form (round-10
+    ADVICE) makes a day holding only session ENDS report the
+    carried-in concurrency those sessions represent, instead of 0.
     Ordering -1 before +1 at equal timestamps makes concurrency
     end-exclusive (a session ending exactly when another starts does
     not overlap it); zero-length (single-event) sessions therefore
@@ -253,7 +258,7 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run", F.sum("delta").over(w_day)
     )
     per_day = within.groupBy("day").agg(
-        F.max("run").alias("max_run"),
+        F.max(F.col("run") - F.least(F.col("delta"), F.lit(0))).alias("max_run"),
         F.sum("delta").alias("net"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
             "n_sessions_started"

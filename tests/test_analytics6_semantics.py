@@ -66,7 +66,8 @@ def test_skyline_dominance_tie_rules(spark, tmp_path):
 def test_peak_concurrency_tie_rules_and_carry(spark, tmp_path):
     """End-exclusive ties (-1 sorts before +1 at equal ts), zero-length
     sessions never counting toward a peak, and a midnight-spanning
-    session carrying +1 into the next day's sweep."""
+    session whose carried-in concurrency is REPORTED on the next day
+    (pre-event level of the end row — round-10 ADVICE fix)."""
     d1 = dt.datetime(2024, 3, 1)
     ev = [
         # user, ts — 30-min gap sessionization gives one session per
@@ -94,12 +95,17 @@ def test_peak_concurrency_tie_rules_and_carry(spark, tmp_path):
         for r in QUERIES["peak_concurrent_sessions"](spark, str(tmp_path)).collect()
     ]
     # Day 1: peak 2 (u1+u4 overlap; u2's zero-length -1/+1 and u3's
-    # start-at-u1's-end never raise it past 2).  Day 2 holds only u5's
-    # session END: carry-in +1, within-day running -1 -> peak 0 at the
-    # day's endpoints, no starts.
+    # start-at-u1's-end never raise it past 2 — a -1's pre-event level
+    # run-LEAST(delta,0) re-adds only the ending session itself, and a
+    # zero-length session's -1 sorts before its +1 so its pre-event
+    # level never exceeds the surrounding concurrency).  Day 2 holds
+    # only u5's session END: carry-in +1, and the pre-event level of
+    # that -1 row reports the carried-in concurrency 1 (round-10
+    # ADVICE fix — the old endpoint-sampled convention reported 0 for
+    # carry-only days).
     assert got == [
         (dt.date(2024, 3, 1), 2, 5),
-        (dt.date(2024, 3, 2), 0, 0),
+        (dt.date(2024, 3, 2), 1, 0),
     ]
 
 

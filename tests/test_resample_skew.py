@@ -1,0 +1,115 @@
+"""Grouped-map skew mitigation (operators/resample.py chunk_hours —
+round-10 verdict ask #4): the range-split path must be row-identical
+to the single-group path, including across chunk boundaries, on
+event-less chunks (carry-only fill), and at boundary-exact
+timestamps.  The headline test plants ONE user holding ~half the
+events (the documented pathological shape) and asserts exact
+equality.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ex9_big_data_gal_drimer_spark.operators.resample import resample_hourly_ffill
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (user_id, ts, value)."""
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pq.write_table(table, str(path))
+    return str(path)
+
+
+def _collect(df):
+    return sorted(
+        ((r.user_id, r.hour_ts, r.filled_value) for r in df.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+
+
+def test_chunked_equals_unsplit_on_planted_skew(spark, tmp_path):
+    """One user holds ~half the events across a 3-week span; with
+    chunk_hours=48 that key spreads over ~11 grouped-map tasks.  The
+    chunked result must equal the single-group result row-for-row."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # The whale: 240 events over 20 days (irregular 2h2m stride so
+    # events drift across hour and chunk boundaries).
+    for i in range(240):
+        rows.append((1, base + dt.timedelta(minutes=122 * i), float(i)))
+    # 24 normal users with ~10 events each inside the same window.
+    for u in range(2, 26):
+        for i in range(10):
+            rows.append(
+                (u, base + dt.timedelta(hours=7 * i + u, minutes=u), float(u * 100 + i))
+            )
+    _write_events(tmp_path, rows)
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    plain = _collect(resample_hourly_ffill(ev))
+    chunked = _collect(resample_hourly_ffill(ev, chunk_hours=48))
+    assert len(plain) > 0
+    assert chunked == plain
+
+
+def test_chunked_fills_eventless_chunks_from_carry(spark, tmp_path):
+    """Two events 10 days apart with chunk_hours=24: eight interior
+    chunks hold NO events and must forward-fill entirely from the
+    carried observation."""
+    t0 = dt.datetime(2024, 5, 1, 6, 30)
+    t1 = dt.datetime(2024, 5, 11, 6, 0)  # exactly on a grid hour
+    _write_events(tmp_path, [(7, t0, 1.5), (7, t1, 9.5)])
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    plain = _collect(resample_hourly_ffill(ev))
+    chunked = _collect(resample_hourly_ffill(ev, chunk_hours=24))
+    assert chunked == plain
+    # Shape pin: one grid row per hour, first at floor(t0) — which
+    # precedes the 06:30 first event, so it is NULL by the documented
+    # before-first-event rule — last at floor(t1); every interior
+    # point forward-fills 1.5 across the eight event-less chunks.
+    assert len(chunked) == 241
+    assert chunked[0] == (7, dt.datetime(2024, 5, 1, 6, 0), None)
+    assert chunked[-1] == (7, dt.datetime(2024, 5, 11, 6, 0), 9.5)
+    assert all(v == 1.5 for _, ts, v in chunked[1:-1])
+
+
+def test_chunked_boundary_exact_timestamps(spark, tmp_path):
+    """Events landing exactly ON a chunk-boundary hour belong to the
+    opening chunk; the prior chunk's last grid point still fills from
+    the older observation."""
+    rows = [
+        (3, dt.datetime(2024, 2, 1, 0, 0), 10.0),   # chunk 0 start
+        (3, dt.datetime(2024, 2, 2, 0, 0), 20.0),   # exactly on the 24h boundary
+        (3, dt.datetime(2024, 2, 2, 5, 0), 30.0),
+    ]
+    _write_events(tmp_path, rows)
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    plain = _collect(resample_hourly_ffill(ev))
+    chunked = _collect(resample_hourly_ffill(ev, chunk_hours=24))
+    assert chunked == plain
+    by_ts = {ts: v for _, ts, v in chunked}
+    assert by_ts[dt.datetime(2024, 2, 1, 23, 0)] == 10.0  # last pre-boundary hour
+    assert by_ts[dt.datetime(2024, 2, 2, 0, 0)] == 20.0   # boundary hour: new obs
+    assert by_ts[dt.datetime(2024, 2, 2, 5, 0)] == 30.0
+
+
+def test_chunked_rejects_nonpositive_chunk(spark, tmp_path):
+    _write_events(tmp_path, [(1, dt.datetime(2024, 1, 1), 1.0)])
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="chunk_hours"):
+        resample_hourly_ffill(ev, chunk_hours=0)
