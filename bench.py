@@ -204,6 +204,13 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "setup_seconds": setup_seconds,
+        # Effective JVM heap, read back from the live session: artifact
+        # consumers can detect cross-heap comparisons mechanically (the
+        # 8g→16g default change between r09 and r10 moved shared-query
+        # medians ~9 % by GC headroom alone — round-10 ADVICE).
+        "driver_memory": spark.conf.get(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        ),
     }
 
     # The driver keeps only the tail of stdout, so round-N's per-query
@@ -233,17 +240,19 @@ def main() -> int:
             },
         }
 
-    # Snapshot every earlier pass before an in-place rerun overwrites
-    # it, so no rerun ever silently destroys prior numbers (round-9
-    # "What's wrong" #1: the driver's gate run overwrote the committed
-    # sequential run).  Numbered suffixes, never clobbered: a SECOND
-    # rerun must not replace the preserved clean first pass with the
-    # first rerun's contaminated output.
-    if os.path.exists(full_path):
-        n = 1
-        while os.path.exists(f"{full_path}.prev{n}"):
-            n += 1
-        os.replace(full_path, f"{full_path}.prev{n}")
+    # Snapshot the FIRST pass before an in-place rerun overwrites it,
+    # so no rerun ever silently destroys the clean sequential numbers
+    # (round-9 "What's wrong" #1: the driver's gate run overwrote the
+    # committed run).  Exactly ONE snapshot per leg (round-10 verdict
+    # ask #6 — the unbounded .prev1..N chain was artifact-dir litter):
+    # the preserved file is always the oldest pass, which is the clean
+    # one under the sequential-first discipline; later reruns are the
+    # contaminated gate passes and are fine to lose.  Legacy numbered
+    # snapshots from the old policy are pruned on sight.
+    if os.path.exists(full_path) and not os.path.exists(f"{full_path}.prev"):
+        os.replace(full_path, f"{full_path}.prev")
+    for legacy in glob.glob(f"{full_path}.prev[0-9]*"):
+        os.remove(legacy)
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
         fh.write("\n")

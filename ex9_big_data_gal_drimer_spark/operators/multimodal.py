@@ -1962,7 +1962,22 @@ def decode_mp4_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = 
     decoded, so sampling cost is frames/stride — the same cost model
     as the AVI walk.  Returns the frame list, or None for non-BMFF
     payloads, malformed sample tables, undecodable codecs, or an
-    invalid stride (bad-input contract parity, round-6 ADVICE)."""
+    invalid stride (bad-input contract parity, round-6 ADVICE).
+
+    Track selection: the FIRST video trak with a complete sample
+    table AND a decodable leading stsd entry wins; earlier video
+    traks that are incomplete or undecodable are skipped, not fatal
+    (round-10 ADVICE — multi-track files).  Only the first stsd
+    sample entry is consulted (multi-entry per-sample codec switching
+    unsupported by design).  Failure granularity is two-tier, matching
+    decode_avi_frames: SAMPLE-TABLE inconsistencies (offsets past the
+    file, stsc/stsz capacity mismatch) poison the whole file → None,
+    because a lying index means every located range is suspect; a
+    PER-SAMPLE decode failure (missing SOI, truncated entropy stream)
+    merely skips that frame, degrading to a shorter frame list — the
+    container walk stays trustworthy even when one sample's payload
+    is damaged (round-10 ADVICE: documented degradation, not a silent
+    contract break)."""
     if frame_stride < 1:
         return None
     b = bytes(b)
@@ -1995,22 +2010,30 @@ def decode_mp4_frames(b: bytes, frame_stride: int = 1, max_frames: int | None = 
             # hdlr body: ver/flags(4) + pre_defined(4) + handler(4)
             if not h or h[1] - h[0] < 12 or b[h[0] + 8 : h[0] + 12] != b"vide":
                 continue
+            # A video trak with an incomplete sample table, or one
+            # whose codec we cannot decode, is SKIPPED in favor of any
+            # later decodable video trak (round-10 ADVICE: spec-legal
+            # multi-track files must not fall to the stub tier because
+            # their FIRST video trak is undecodable).  Only when no
+            # video trak qualifies does the whole file return None.
             if not all(k in found for k in (b"stsd", b"stsz", b"stsc")):
-                return None
+                continue
             if b"stco" not in found and b"co64" not in found:
-                return None
+                continue
+            # stsd: ver/flags + entry_count, then sample entries.  Only
+            # the FIRST sample entry's fourcc is inspected — multi-entry
+            # stsd (per-sample codec switching via stsd_index in stsc)
+            # is rare in practice and unsupported here by design; a
+            # trak leading with a non-JPEG entry is treated as
+            # undecodable even if a later entry is 'jpeg'.
+            ss, se = found[b"stsd"]
+            if se - ss < 16 or b[ss + 12 : ss + 16] not in _MP4_JPEG_CODECS:
+                continue
             best = found
             break
         if best:
             break
     if not best:
-        return None
-
-    s, e = best[b"stsd"]  # ver/flags + entry_count, then sample entries
-    if e - s < 16:
-        return None
-    codec = b[s + 12 : s + 16]  # first entry's fourcc
-    if codec not in _MP4_JPEG_CODECS:
         return None
 
     s, e = best[b"stsz"]  # ver/flags + sample_size + sample_count [+ sizes]

@@ -1023,6 +1023,65 @@ def test_mp4_malformed_tables_fall_to_none():
     assert decode_mp4_frames(dangling) is None
 
 
+def test_mp4_multitrack_skips_undecodable_leading_trak():
+    """Round-10 ADVICE: a spec-legal multi-track file whose FIRST
+    video trak is undecodable (foreign codec) or incomplete (missing
+    sample-table boxes) must decode from a LATER jpeg trak, not fall
+    to the stub tier.  Both files here share ftyp+mdat layout with the
+    single-trak reference, so the good trak's sample offsets are
+    byte-identical and the decoded pixels must match exactly."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_mp4_frames,
+    )
+
+    def _box(cc, body):
+        return (len(body) + 8).to_bytes(4, "big") + cc + body
+
+    def _full(cc, body, flags=0):
+        return _box(cc, b"\x00" + flags.to_bytes(3, "big") + body)
+
+    jpegs = [
+        _jpeg_real([[(30 * k, 200 - 30 * k, 90)] * 8 for _ in range(8)])
+        for k in range(3)
+    ]
+    ref = [decode_jpeg_pixels(j) for j in jpegs]
+
+    def _traks_of(f):
+        """trak bytes from a _mp4() file: moov body minus the mvhd."""
+        moov_at = f.rindex(b"moov") - 4
+        return f[moov_at + 8 + 108 :]  # mvhd = 8 hdr + 4 ver/flags + 96
+
+    good = _mp4(jpegs)
+    bad_codec = _mp4(jpegs, codec=b"avc1")
+    prefix = good[: good.rindex(b"moov") - 4]  # shared ftyp + mdat
+    mvhd = _full(b"mvhd", bytes(96))
+
+    # (a) leading avc1 trak, then the decodable jpeg trak
+    multi = prefix + _box(b"moov", mvhd + _traks_of(bad_codec) + _traks_of(good))
+    frames = decode_mp4_frames(multi)
+    assert frames is not None and len(frames) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, ref))
+
+    # (b) leading vide trak with an INCOMPLETE sample table (stsd
+    # only — no stsz/stsc/stco), then the decodable trak
+    hdlr = _full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"\x00")
+    stsd = _full(b"stsd", (1).to_bytes(4, "big") + _box(b"jpeg", bytes(70)))
+    stub_trak = _box(
+        b"trak", _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsd)))
+    )
+    multi2 = prefix + _box(b"moov", mvhd + stub_trak + _traks_of(good))
+    frames2 = decode_mp4_frames(multi2)
+    assert frames2 is not None and len(frames2) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames2, ref))
+
+    # (c) no decodable trak anywhere -> still the honest None tier
+    only_bad = prefix + _box(b"moov", mvhd + _traks_of(bad_codec))
+    assert decode_mp4_frames(only_bad) is None
+
+
 def test_mp4_sample_range_resolution_property():
     """Property (hypothesis): for ANY sample sizes and chunk packing,
     resolving the run-length stsc/stco/stsz encoding recovers exactly
