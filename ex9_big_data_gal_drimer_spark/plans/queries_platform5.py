@@ -264,6 +264,185 @@ def weighted_sample_orders_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_sketch_rollup",
+    staged_oracle="""
+    WITH binned AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               date_trunc('day', o_orderdate) AS day,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders
+        GROUP BY 1, 2, 3
+    ), merged AS (
+        SELECT month, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM binned GROUP BY 1, 2
+    ), cdf AS (
+        SELECT month, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY month ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY month) AS tot
+        FROM merged
+    ), est AS (
+        SELECT month,
+               CAST(MAX(tot) AS BIGINT) AS n_orders,
+               ROUND((MIN(CASE WHEN cum >= CAST(CEIL(0.5 * tot) AS BIGINT)
+                               THEN bin END) + 1) * 1000.0, 2) AS est_p50,
+               ROUND((MIN(CASE WHEN cum >= CAST(CEIL(0.9 * tot) AS BIGINT)
+                               THEN bin END) + 1) * 1000.0, 2) AS est_p90
+        FROM cdf GROUP BY month
+    ), ranked AS (
+        SELECT date_trunc('month', o_orderdate) AS month, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY date_trunc('month', o_orderdate)
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY date_trunc('month', o_orderdate))
+                   AS n
+        FROM orders
+    ), exact AS (
+        SELECT month,
+               ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                              THEN o_totalprice END), 2) AS exact_p50,
+               ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                              THEN o_totalprice END), 2) AS exact_p90
+        FROM ranked GROUP BY month
+    )
+    SELECT e.month, e.n_orders,
+           e.est_p50, x.exact_p50,
+           (e.est_p50 - x.exact_p50 >= 0 AND e.est_p50 - x.exact_p50 <= 1000)
+               AS p50_within_bin,
+           e.est_p90, x.exact_p90,
+           (e.est_p90 - x.exact_p90 >= 0 AND e.est_p90 - x.exact_p90 <= 1000)
+               AS p90_within_bin
+    FROM est e JOIN exact x ON e.month = x.month
+    ORDER BY e.month
+    """,
+)
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the quantile member of the
+    mergeable-sketch family next to the banked HLL distinct rollup
+    (hll_sketch_rollup) and frequent-items rollup
+    (word_topk_sketch_rollup): day-grain equi-width histograms over
+    INTEGER CENTS (``round(price*100) DIV 100000`` — $1000 bins, all
+    integer math so both engines bin identically; no libm log-binning
+    near bin edges) are MERGED to month grain by count addition — the
+    literal sketch-merge visible in the plan as the second aggregate —
+    then each month's p50/p90 estimate reads the binned CDF.  The
+    query audits itself against the exact rank-based quantiles: the
+    estimate is the upper edge of the bin holding the exact value, so
+    ``0 <= est - exact <= bin_width`` must hold for every month — the
+    error-bound contract emitted as booleans the differential checks.
+
+    Scale: the day sketch is a map-side-combinable groupBy on
+    (month, day, bin) — at 100 TB the stored artifact per day is the
+    ≤600-row histogram, and ANY period rolls up by adding counts
+    (week, month, lifetime) without touching raw data again; the CDF
+    windows run at bin grain (calendar × 600 rows).  The exact branch
+    exists only for the audit; production reads the sketch alone.
+    """
+    o = table(spark, sf_dir, "orders")
+    # F.trunc returns DATE, matching DuckDB's date_trunc('month', ts)
+    # (which yields DATE for calendar granularities)
+    month = F.trunc(F.col("o_orderdate"), "month")
+    binned = (
+        o.select(
+            month.alias("month"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000"
+            ).alias("bin"),
+        )
+        .groupBy("month", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = binned.groupBy("month", "bin").agg(F.sum("cnt").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("month")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("month")
+    cdf = merged.select(
+        "month",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+    est = cdf.groupBy("month").agg(
+        F.max("tot").alias("n_orders"),
+        F.round(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(0.5 * F.col("tot")).cast("long"),
+                        F.col("bin"),
+                    )
+                )
+                + 1
+            )
+            * 1000.0,
+            2,
+        ).alias("est_p50"),
+        F.round(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(0.9 * F.col("tot")).cast("long"),
+                        F.col("bin"),
+                    )
+                )
+                + 1
+            )
+            * 1000.0,
+            2,
+        ).alias("est_p90"),
+    )
+    w_rank = Window.partitionBy("month").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        month.alias("month"), "o_totalprice", "o_orderkey"
+    ).select(
+        "month",
+        "o_totalprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_tot).alias("n"),
+    )
+    exact = ranked.groupBy("month").agg(
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                    F.col("o_totalprice"),
+                )
+            ),
+            2,
+        ).alias("exact_p50"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"),
+                    F.col("o_totalprice"),
+                )
+            ),
+            2,
+        ).alias("exact_p90"),
+    )
+    d50 = F.col("est_p50") - F.col("exact_p50")
+    d90 = F.col("est_p90") - F.col("exact_p90")
+    return (
+        est.join(exact, "month")
+        .select(
+            "month",
+            "n_orders",
+            "est_p50",
+            "exact_p50",
+            ((d50 >= 0) & (d50 <= 1000)).alias("p50_within_bin"),
+            "est_p90",
+            "exact_p90",
+            ((d90 >= 0) & (d90 <= 1000)).alias("p90_within_bin"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
     "resample_user_hourly_chunked",
     staged_oracle="""
     WITH spans AS (
