@@ -133,9 +133,10 @@ _DRIVER_PRIORITY: list[str] = [
 # (checked below).  Every other query rides on banked green rows
 # (CORRECTNESS_r01-r10) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-11 window freeze: registry 230 queries / 200 oracles (198
-# banked green + the 2 promotions; join_delta_view_maintenance stays
-# staged-oracle rows-only forever — capacity).  Vintages after
+# round-11 window freeze: registry 235 queries / 200 oracles (198
+# banked green + the 2 promotions; join_delta_view_maintenance and
+# the 5 round-11 additions in queries_platform5.py stay staged-oracle
+# rows-only forever — capacity).  Vintages after
 # CORRECTNESS_r10: 48×r06, 50×r08, 50×r09, 50×r10.  After
 # CORRECTNESS_r11 banks this window, cohorts are 50×r08, 50×r09,
 # 50×r10, 50×r11 — no banked row older than age 3, and the 200-row
