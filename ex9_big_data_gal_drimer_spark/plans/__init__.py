@@ -61,99 +61,91 @@ from . import queries_platform5  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-11 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
+    # ROUND-12 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
     # oracle-bearing queries are seated; rows-only tiers are never
     # seated (the driver banks nothing for them).
-    # (a) round-11 promotions (2): the two staged-oracle queries built
-    #     late round 10 (queries_analytics6.py) take the registry's two
-    #     permanent spare seats — skyline_parts_pareto (sort-based
-    #     per-brand Pareto front vs quadratic NOT-EXISTS oracle) and
-    #     peak_concurrent_sessions (distributed two-phase sweep line vs
-    #     DuckDB's global-window sweep; pre-event-level semantics fix
-    #     from round-10 ADVICE applied to both plan and oracle before
-    #     this first banking).  Both were differentially verified at
-    #     every r10 pytest via tests/test_staged_oracles.py.
-    # (b) rolling re-verification: ALL 48 r06-vintage rows (age 5 at
-    #     the r11 bank; tools/preflight.py --check-vintage enforces) —
-    #     the r06 bank minus levenshtein_similar_parts (re-banked r10)
-    #     and quantity_weighted_median_price (re-banked r09).
-    #     Alphabetical (all same vintage).
-    "skyline_parts_pareto",
-    "peak_concurrent_sessions",
-    "acctbal_percentile_profile",
-    "asof_latest_purchase",
-    "bm25_rank_docs",
-    "bpe_token_stats",
-    "bucketed_join_segment_revenue",
-    "case_map_event_severity",
-    "chunk_documents",
-    "cube_status_priority",
-    "curate_training_corpus",
-    "customer_order_gaps",
-    "customers_with_orders_semi",
-    "customers_without_orders_anti",
-    "dataset_split_assign",
-    "dedup_apply_ngram",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_prefix",
-    "doc_fingerprint_stats",
-    "embedding_stats_by_label",
-    "event_type_rates",
-    "events_click_purchase_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_tumbling_1h",
-    "json_extract_events",
-    "knn_bruteforce_cosine",
-    "lang_distribution",
-    "latest_event_per_user",
-    "multiset_ops_lineitem",
-    "nation_orders_others_bucket",
-    "order_price_quantiles",
-    "orders_by_month",
-    "pivot_status_by_priority",
-    "pricing_summary",
-    "q5_part_token_stats",
-    "q6_customer_concentration",
-    "regional_revenue",
-    "revenue_top_orders",
-    "rollup_region_nation",
-    "sample_md5_stratified_orders",
-    "sample_md5_topn_orders",
-    "set_ops_customers",
-    "skew_salted_revenue",
-    "text_quality_by_source",
-    "top_orders_per_nation",
-    "unpivot_priority_counts",
-    "user_path_top10",
-    "word_freq_top20",
+    # No promotions this round (the 200-oracle capacity is permanently
+    # full; all round-12 additions are staged-oracle rows-only).
+    # Rolling re-verification: ALL 50 r08-vintage rows (the full
+    # CORRECTNESS_r08 bank -- none re-banked since).  There is no age-5
+    # cohort at the r12 bank (the r07 cohort is empty), so this seating
+    # is cadence-keeping rather than gate-mandatory: it preserves the
+    # permanent 4-round rotation (r12->r08 cohort, r13->r09, r14->r10,
+    # r15->r11, ...) with the window exactly full each round.
+    # Alphabetical (all same vintage).
+    "basket_lift_top_pairs",
+    "bloom_filter_fp_audit",
+    "corpus_novelty_curve",
+    "cross_source_fingerprint_overlap",
+    "daily_revenue_autocorr",
+    "decontaminate_against_eval",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "doc_quality_scores",
+    "doc_repetition_quality",
+    "dow_seasonality_index",
+    "dp_clipping_audit",
+    "edit_distance_verify_lsh",
+    "event_interarrival_profile",
+    "event_sequence_cohorts",
+    "events_enriched_by_nation",
+    "events_ohlc_hourly",
+    "events_rollup_cascade",
+    "from_json_typed",
+    "funnel_view_click_purchase",
+    "hotels_q1",
+    "hotels_q2",
+    "hotels_q3",
+    "hotels_q4",
+    "hotels_q5",
+    "hotels_q6",
+    "ivf_cell_balance_audit",
+    "join_cardinality_audit",
+    "k_anonymity_audit",
+    "knn_vectorized_cosine",
+    "l_diversity_audit",
+    "lineitem_price_stats",
+    "listagg_top_parts_by_brand",
+    "markov_next_event_entropy",
+    "monthly_revenue_momentum",
+    "multiformat_roundtrip_audit",
+    "pack_sequences",
+    "part_cooccurrence_top20",
+    "partitioned_scan_pruning",
+    "pii_redaction_audit",
+    "range_join_price_bands",
+    "resample_user_hourly",
+    "rolling_revenue_frames",
+    "snapshot_diff_cdc",
+    "split_leakage_check",
+    "sq_quantization_error_audit",
+    "table_stats_profile",
+    "tfidf_top_terms",
+    "variant_json_events",
+    "zorder_layout_audit",
 ]
 # 50 priority entries fill the driver's 50-slot window exactly
 # (checked below).  Every other query rides on banked green rows
-# (CORRECTNESS_r01-r10) plus the local differential suite, which
+# (CORRECTNESS_r01-r11) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-11 window freeze: registry 235 queries / 200 oracles (198
-# banked green + the 2 promotions; join_delta_view_maintenance and
-# the 5 round-11 additions in queries_platform5.py stay staged-oracle
-# rows-only forever — capacity).  Vintages after
-# CORRECTNESS_r10: 48×r06, 50×r08, 50×r09, 50×r10.  After
-# CORRECTNESS_r11 banks this window, cohorts are 50×r08, 50×r09,
-# 50×r10, 50×r11 — no banked row older than age 3, and the 200-row
-# steady state is exactly full.
+# round-12 window freeze: registry 235 queries / 200 oracles at the
+# seat (round-12 additions register staged-oracle rows-only on top —
+# capacity is permanently full).  Vintages after CORRECTNESS_r11:
+# 50xr08, 50xr09, 50xr10, 50xr11 — exactly the 200-row steady state,
+# no banked row older than age 3.  After CORRECTNESS_r12 banks this
+# window, cohorts are 50xr09, 50xr10, 50xr11, 50xr12.
 #
-# ROUND-12 ROTATION (precomputed): there is NO age-5 cohort at the
-# r12 bank (the r07 cohort is empty — everything r07-era re-banked in
-# r08), so no seat is mandatory; but the 50×r08 rows reach age 5 at
-# the r13 bank, and seating them in r12 keeps the permanent 4-round
-# cadence (r12→r08 cohort, r13→r09, r14→r10, r15→r11, ...) with the
-# window exactly full each round.  Seat all 50 r08-vintage rows in
-# r12, displacing any of them only for changed-plan re-verifies
-# (which must then seat no later than the cohort's age-5 round).
-# Past the 200-oracle capacity, new queries register rows-only with
-# ``staged_oracle=`` (registry.STAGED_ORACLES, differentially
-# verified by tests/test_staged_oracles.py at every pytest run) —
-# that is the permanent growth mode.
+# ROUND-13 ROTATION (precomputed): seat the full 50xr09 cohort (it
+# reaches age 4 at the r13 bank; tools/preflight.py --check-vintage
+# gates on strictly-older-than-4).  The permanent cadence is
+# rN -> the cohort banked in round N-4 (r13->r09, r14->r10,
+# r15->r11, r16->r12, ...), window exactly full each round.
+# Displace a cohort row only for a changed-plan re-verify, which must
+# then seat no later than its age-5 round.  Past the 200-oracle
+# capacity, new queries register rows-only with ``staged_oracle=``
+# (registry.STAGED_ORACLES, differentially verified by
+# tests/test_staged_oracles.py at every pytest run) — that is the
+# permanent growth mode.
 #
 # Growth discipline (round-6 verdict ask #7): cap NET NEW oracle
 # queries at ~10 per round so the rolling window re-verifies every
