@@ -52,6 +52,28 @@ from ex9_big_data_gal_drimer_spark.plans import QUERIES
 from ex9_big_data_gal_drimer_spark.session import get_spark
 
 
+def _matches_committed(here: str, full_path: str) -> bool:
+    """True when `full_path` is byte-identical to its git-committed
+    (HEAD) copy — such a file needs no .prev snapshot because git
+    already preserves it.  Any failure (no git, untracked file, not a
+    repo) returns False: the safe default is to snapshot."""
+    import subprocess
+
+    rel = os.path.relpath(os.path.abspath(full_path), here)
+    try:
+        proc = subprocess.run(
+            ["git", "-C", here, "show", f"HEAD:{rel}"],
+            capture_output=True,
+            timeout=10,
+        )
+        if proc.returncode != 0:
+            return False
+        with open(full_path, "rb") as fh:
+            return fh.read() == proc.stdout
+    except Exception:
+        return False
+
+
 def _previous_bench(
     here: str, exclude: str | None = None
 ) -> tuple[str, dict[str, float]] | None:
@@ -245,11 +267,23 @@ def main() -> int:
     # (round-9 "What's wrong" #1: the driver's gate run overwrote the
     # committed run).  Exactly ONE snapshot per leg (round-10 verdict
     # ask #6 — the unbounded .prev1..N chain was artifact-dir litter):
-    # the preserved file is always the oldest pass, which is the clean
-    # one under the sequential-first discipline; later reruns are the
-    # contaminated gate passes and are fine to lose.  Legacy numbered
-    # snapshots from the old policy are pruned on sight.
-    if os.path.exists(full_path) and not os.path.exists(f"{full_path}.prev"):
+    # the preserved file is always the oldest UNCOMMITTED pass, which
+    # is the clean one under the sequential-first discipline; later
+    # reruns are the contaminated gate passes and are fine to lose.
+    # Round-11 ADVICE hardening for round-agnostic names (SCALING_sf*):
+    # a file byte-identical to its git-committed copy is NOT worth the
+    # snapshot slot (git already preserves it — recover with
+    # `git checkout -- <file>`), so the slot stays free for this
+    # round's clean pass instead of being burned on last round's
+    # artifact; tools/close_round.sh additionally prunes stale *.prev
+    # at chain start so a leftover snapshot from a prior round can
+    # never block this round's.  Legacy numbered snapshots from the
+    # old policy are pruned on sight.
+    if (
+        os.path.exists(full_path)
+        and not os.path.exists(f"{full_path}.prev")
+        and not _matches_committed(here, full_path)
+    ):
         os.replace(full_path, f"{full_path}.prev")
     for legacy in glob.glob(f"{full_path}.prev[0-9]*"):
         os.remove(legacy)

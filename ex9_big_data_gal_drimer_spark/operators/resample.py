@@ -47,7 +47,15 @@ def resample_hourly_ffill(
 
     Determinism requires unique (key, ts) pairs (true for the events
     corpus, pinned in latest_event_per_user): with duplicate
-    timestamps the as-of winner would be engine-dependent.
+    timestamps the as-of winner would be engine-dependent.  The
+    chunked path is additionally hardened to be INTERNALLY consistent
+    under duplicates — both its boundary carry (max of a
+    (ts, value) struct) and its in-chunk fill (sort by (ts, value),
+    nulls first) break ties on the value, so a boundary carry can
+    never disagree with the fill a grid point inside the chunk would
+    get (round-11 ADVICE).  NULL values are first-class in both
+    paths: a latest observation whose value is NULL forward-fills
+    NULL, never a stale earlier value.
 
     The output schema is derived from the input: the key keeps its own
     type and ``filled_value`` keeps the value column's type (rather
@@ -175,9 +183,19 @@ def _resample_hourly_ffill_chunked(
             )
         ).alias("__chunk"),
     )
+    # The per-chunk latest observation is carried as ONE struct so the
+    # timestamp and the value cannot desync (round-11 ADVICE: separate
+    # last(__last_ts)/last(__last_val, ignorenulls) skipped a chunk
+    # whose latest VALUE was genuinely NULL while the timestamp still
+    # advanced, forward-filling a stale non-NULL value).  The struct is
+    # NULL exactly when the chunk has no events (left-join miss), so a
+    # single last(ignorenulls) carries both fields atomically — a NULL
+    # value rides inside a non-NULL struct and is filled as NULL, same
+    # as the single-group path.  Struct max orders lexicographically
+    # (__ts, then __val, NULL smallest), which doubles as the duplicate
+    # timestamp tie-break matching fill_chunk's sort below.
     lasts = ev.groupBy(key_col, "__chunk").agg(
-        F.max("__ts").alias("__last_ts"),
-        F.max_by("__val", "__ts").alias("__last_val"),
+        F.max(F.struct("__ts", "__val")).alias("__last")
     )
     w_prior = (
         Window.partitionBy(key_col)
@@ -193,15 +211,14 @@ def _resample_hourly_ffill_chunked(
             F.least(
                 F.col("__hi"), (F.col("__chunk") + 1) * chunk_hours - 1
             ).alias("__ghi"),
-            F.last("__last_ts", ignorenulls=True).over(w_prior).alias("__carry_ts"),
-            F.last("__last_val", ignorenulls=True).over(w_prior).alias("__carry_val"),
+            F.last("__last", ignorenulls=True).over(w_prior).alias("__carry"),
         )
     )
-    carry_obs = grid.filter(F.col("__carry_ts").isNotNull()).select(
+    carry_obs = grid.filter(F.col("__carry").isNotNull()).select(
         key_col,
         "__chunk",
-        F.col("__carry_ts").alias("__ts"),
-        F.col("__carry_val").alias("__val"),
+        F.col("__carry.__ts").alias("__ts"),
+        F.col("__carry.__val").alias("__val"),
     )
     all_obs = ev.select(key_col, "__chunk", "__ts", "__val").unionByName(carry_obs)
     # The grid-slice relation is calendar-sized (one row per key-chunk,
@@ -224,9 +241,20 @@ def _resample_hourly_ffill_chunked(
         # pandas DataFrame construction entirely, ~3x less per-group
         # overhead than the merge_asof form at 75k groups (sf1).
         # Semantics identical: index of the latest observation at or
-        # before each grid hour, NULL when none precedes it.
+        # before each grid hour, NULL when none precedes it.  The value
+        # column never round-trips through numpy (round-11 ADVICE:
+        # to_numpy turned NULL floats into NaN and crashed on nullable
+        # ints) — rows are picked with Arrow take(), where a NULL take
+        # index yields a NULL output row, so NULL values and the
+        # no-prior-observation mask both come out as true Arrow nulls
+        # in the value column's own type.  Sort order is (__ts, __val)
+        # with nulls first — the same lexicographic order as the carry
+        # aggregate's max(struct(__ts, __val)) upstream, so duplicate
+        # timestamp ties resolve identically in-chunk and across chunk
+        # boundaries.
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         glo = t["__glo"][0].as_py()
         ghi = t["__ghi"][0].as_py()
@@ -236,14 +264,16 @@ def _resample_hourly_ffill_chunked(
             .astype("datetime64[us]")
             .astype("int64")
         )
-        vals = t["__val"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ts_us, kind="stable")
+        order = pc.sort_indices(
+            t.select(["__ts", "__val"]),
+            sort_keys=[("__ts", "ascending"), ("__val", "ascending")],
+            null_placement="at_start",
+        ).to_numpy()
         idx = np.searchsorted(ts_us[order], grid_us, side="right") - 1
-        filled = pa.array(
-            vals[order][np.maximum(idx, 0)],
-            mask=idx < 0,
-            type=t.schema.field("__val").type,
+        take_idx = pa.array(
+            order[np.maximum(idx, 0)].astype("int64"), mask=idx < 0
         )
+        filled = t["__val"].take(take_idx)
         key_type = t.schema.field(key_col).type
         keys = pa.array(
             np.full(len(grid_us), t[key_col][0].as_py(), dtype=object),

@@ -113,3 +113,90 @@ def test_chunked_rejects_nonpositive_chunk(spark, tmp_path):
     ev = spark.read.parquet(str(tmp_path / "events.parquet"))
     with pytest.raises(ValueError, match="chunk_hours"):
         resample_hourly_ffill(ev, chunk_hours=0)
+
+
+def _write_events_typed(tmp_path, rows, value_type):
+    """rows: list of (user_id, ts, value_or_None) with an explicit
+    Arrow value type (nullable)."""
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], value_type),
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pq.write_table(table, str(path))
+    return str(path)
+
+
+def test_chunked_null_value_carry_fills_null(spark, tmp_path):
+    """Round-11 ADVICE repro: a chunk whose LATEST observation's value
+    is genuinely NULL.  The old separate-column carry skipped the NULL
+    value (last ignorenulls) while the carry timestamp advanced, so
+    the next (event-less) chunk forward-filled a STALE non-NULL value.
+    The struct carry must fill NULL, identical to the plain path."""
+    rows = [
+        (5, dt.datetime(2024, 3, 1, 1, 0), 10.0),
+        (5, dt.datetime(2024, 3, 1, 20, 0), None),  # chunk 0's latest: NULL
+        # chunk 1 (Mar 2) has no events; chunk 2 closes the span.
+        (5, dt.datetime(2024, 3, 3, 4, 0), 30.0),
+    ]
+    _write_events_typed(tmp_path, rows, pa.float64())
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    plain = _collect(resample_hourly_ffill(ev))
+    chunked = _collect(resample_hourly_ffill(ev, chunk_hours=24))
+    assert chunked == plain
+    by_ts = {ts: v for _, ts, v in chunked}
+    assert by_ts[dt.datetime(2024, 3, 1, 19, 0)] == 10.0
+    # From the NULL observation until the next real one: NULL, not 10.0.
+    assert by_ts[dt.datetime(2024, 3, 1, 20, 0)] is None
+    assert by_ts[dt.datetime(2024, 3, 2, 12, 0)] is None   # event-less chunk
+    assert by_ts[dt.datetime(2024, 3, 3, 3, 0)] is None
+    assert by_ts[dt.datetime(2024, 3, 3, 4, 0)] == 30.0
+
+
+def test_chunked_nullable_int_values(spark, tmp_path):
+    """Round-11 ADVICE repro: nullable INTEGER value column.  The old
+    to_numpy round-trip turned NULLs into NaN and crashed casting back
+    to int; the Arrow take() path must keep the long type and emit
+    true NULLs."""
+    rows = [
+        (9, dt.datetime(2024, 4, 1, 0, 30), 7),
+        (9, dt.datetime(2024, 4, 1, 6, 30), None),
+        (9, dt.datetime(2024, 4, 2, 3, 0), 42),  # exactly on a grid hour
+    ]
+    _write_events_typed(tmp_path, rows, pa.int64())
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    chunked = resample_hourly_ffill(ev, chunk_hours=12)
+    assert dict(chunked.dtypes)["filled_value"] == "bigint"
+    by_ts = {r.hour_ts: r.filled_value for r in chunked.collect()}
+    assert by_ts[dt.datetime(2024, 4, 1, 0, 0)] is None    # before first obs
+    assert by_ts[dt.datetime(2024, 4, 1, 5, 0)] == 7
+    assert by_ts[dt.datetime(2024, 4, 1, 7, 0)] is None    # NULL obs carried
+    assert by_ts[dt.datetime(2024, 4, 2, 0, 0)] is None    # across the boundary
+    assert by_ts[dt.datetime(2024, 4, 2, 3, 0)] == 42
+
+
+def test_chunked_duplicate_ts_tiebreak_consistent(spark, tmp_path):
+    """Round-11 ADVICE (low): with duplicate (key, ts) pairs the
+    boundary carry must agree with the in-chunk fill.  Both now break
+    ties on the VALUE (max), so the duplicate pair at 22:00 fills the
+    same winner at 23:00 (in-chunk) and throughout the next, event-less
+    chunk (carry)."""
+    rows = [
+        (4, dt.datetime(2024, 6, 1, 22, 0), 1.0),
+        (4, dt.datetime(2024, 6, 1, 22, 0), 2.0),  # duplicate ts, larger value
+        (4, dt.datetime(2024, 6, 3, 1, 0), 9.0),
+    ]
+    _write_events(tmp_path, rows)
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    chunked = _collect(resample_hourly_ffill(ev, chunk_hours=24))
+    by_ts = {ts: v for _, ts, v in chunked}
+    in_chunk = by_ts[dt.datetime(2024, 6, 1, 23, 0)]
+    carried = by_ts[dt.datetime(2024, 6, 2, 12, 0)]
+    assert in_chunk == carried == 2.0

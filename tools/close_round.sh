@@ -14,6 +14,14 @@
 set -e
 R=${1:?round tag, e.g. r06}
 cd "$(dirname "$0")/.."
+# Round-11 ADVICE: prune stale .prev snapshots from prior rounds at
+# chain start.  Round-agnostic artifact names (SCALING_sf*.json) would
+# otherwise carry a leftover .prev that blocks bench.py's
+# one-snapshot-per-leg guard, so an in-round gate rerun could
+# overwrite this round's clean pass with no backup.  Everything a
+# stale .prev preserved is already committed (recover via
+# `git checkout -- <file>`), so this deletes nothing unique.
+rm -f ./*.json.prev
 echo "=== bench sf0.1 -> BENCH_FULL_${R}.json ==="
 SPARK_GRAFT_BENCH_OUT=BENCH_FULL_${R}.json python bench.py > /tmp/bench_${R}.json
 echo "=== DuckDB baseline -> DUCKDB_SF01.json ==="
