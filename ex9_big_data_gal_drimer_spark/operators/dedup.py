@@ -369,3 +369,75 @@ def simhash_pairs(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Span-level duplicate REMOVAL — the apply tier of the exact
+    substring duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"; measurement twin:
+    char_window_duplication in plans/queries_curation3.py).
+
+    Each document is tiled into consecutive non-overlapping
+    ``window``-char blocks (last block may be shorter); a block whose
+    exact text occurs ≥2 times anywhere in the tiled corpus (across
+    OR within documents) is cut, and the surviving blocks are
+    re-concatenated in order.  Non-overlapping tiling is what makes
+    removal well-defined distributively: overlapping matches (the
+    suffix-array formulation) need cross-row span stitching, while
+    tiles partition the byte range so every byte has exactly one
+    keep/cut verdict and the rewrite is a per-doc ordered reduce.
+
+    Plan: one exchange on the tile text (window count over the gram
+    partition — groupBy+join-back would re-execute the tiling subtree
+    for the dup-set side), then one exchange on the doc id for the
+    ordered rebuild (collect_list of (offset, tile) structs,
+    array_sort, concat).  Per-task state is one document's tiles —
+    bounded by max doc length, never the corpus.  At 100 TB both
+    shuffles are equi-key and map-side-combinable; no pairs, no
+    corpus sort, no driver-side data.
+
+    Returns one row per input doc: id, ``keep_cols``, ``orig_len``,
+    ``n_tiles``, ``n_tiles_removed``, ``new_text``.
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.filter(F.length(text_col) >= 1)
+    tiles = base.select(
+        id_col,
+        *keep_cols,
+        F.length(text_col).cast("long").alias("orig_len"),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col), F.lit(window))
+        ).alias("s"),
+        text_col,
+    ).select(
+        id_col,
+        *keep_cols,
+        "orig_len",
+        "s",
+        F.col(text_col).substr(F.col("s"), F.lit(window)).alias("gram"),
+    )
+    g = Window.partitionBy("gram")
+    marked = tiles.withColumn("dup", F.count(F.lit(1)).over(g) > 1)
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("dup"), F.struct("s", "gram"))
+                )
+            ),
+            lambda t: t["gram"],
+        ),
+        "",
+    )
+    return marked.groupBy(id_col, *keep_cols, "orig_len").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(F.col("dup").cast("long")).alias("n_tiles_removed"),
+        kept_text.alias("new_text"),
+    )

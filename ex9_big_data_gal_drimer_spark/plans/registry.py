@@ -59,6 +59,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "tpch_q21_bucketed",
     "multiformat_roundtrip_audit",
     "levenshtein_similar_parts",  # tier-0 sufficiency count (round 9)
+    "bpe_train_merges",  # one argmax-row collect per merge round (round 12)
 }
 
 
