@@ -574,3 +574,147 @@ def _token_windows_udtf():
 def register_token_windows(spark) -> None:
     """Register ``token_windows`` as a SQL table function."""
     spark.udtf.register("token_windows", _token_windows_udtf())
+
+
+class _FlacBitWriter:
+    """MSB-first bit accumulator for FLAC frame synthesis."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """The frame-number coding of the FLAC frame header (UTF-8-style,
+    extended to 7 bytes)."""
+    if n < 0x80:
+        return bytes([n])
+    for extra in range(1, 7):
+        if n < 1 << (extra * 6 + (6 - extra)):
+            head = (0xFF << (7 - extra)) & 0xFF | (n >> (extra * 6))
+            return bytes(
+                [head]
+                + [
+                    0x80 | ((n >> (6 * (extra - 1 - i))) & 0x3F)
+                    for i in range(extra)
+                ]
+            )
+    raise ValueError("frame number too large")
+
+
+def flac_encode(
+    samples_by_ch,
+    rate: int = 8000,
+    bps: int = 16,
+    blocksize: int = 4096,
+) -> bytes:
+    """Native-FLAC encoder for corpus synthesis: per-channel integer
+    samples → a spec-conformant stream (STREAMINFO with the decoded-
+    stream md5, fixed-blocking frames with correct CRC-8/CRC-16,
+    independent channels, FIXED order-2 subframes — order 0 for short
+    blocks — rice method 0 at partition order 0).  The DECODER
+    (multimodal.decode_flac_samples) handles the full subframe
+    surface; this encoder emits the simple subset corpus synthesis
+    needs, and INDEPENDENCE of the parity evidence comes from the
+    test-side encoder exercising the wider surface
+    (tests/test_multimodal.py), exactly the ima_adpcm_compress
+    precedent."""
+    import hashlib
+
+    from .multimodal import _flac_crc8, _flac_crc16
+
+    chans = [[int(v) for v in ch] for ch in samples_by_ch]
+    nch = len(chans)
+    n = len(chans[0])
+    if nch < 1 or nch > 8 or n == 0 or any(len(c) != n for c in chans):
+        raise ValueError("flac_encode: 1-8 equal-length channels required")
+    if bps not in (8, 16, 24):
+        raise ValueError("flac_encode: bps must be 8, 16, or 24")
+    lim = 1 << (bps - 1)
+    if any(v < -lim or v >= lim for c in chans for v in c):
+        raise ValueError("flac_encode: sample exceeds bps range")
+
+    md5 = hashlib.md5()
+    step = bps // 8
+    for i in range(n):
+        for c in chans:
+            md5.update(c[i].to_bytes(step, "little", signed=True))
+
+    frames = bytearray()
+    for fi, base in enumerate(range(0, n, blocksize)):
+        bs = min(blocksize, n - base)
+        w = _FlacBitWriter()
+        w.write(0x3FFE, 14)  # sync
+        w.write(0, 1)        # reserved
+        w.write(0, 1)        # fixed blocking strategy
+        w.write(7, 4)        # blocksize: 16-bit at header end
+        w.write(0, 4)        # sample rate: from STREAMINFO
+        w.write(nch - 1, 4)  # independent channels
+        w.write({8: 1, 16: 4, 24: 6}[bps], 3)
+        w.write(0, 1)        # reserved
+        for byte in _flac_utf8_encode(fi):
+            w.write(byte, 8)
+        w.write(bs - 1, 16)
+        hdr = bytes(w.buf)
+        w.write(_flac_crc8(hdr), 8)
+        for ch in chans:
+            blk = ch[base : base + bs]
+            order = 2 if bs > 4 else 0
+            w.write(0, 1)
+            w.write(8 + order, 6)  # FIXED subframe
+            w.write(0, 1)          # no wasted bits
+            for v in blk[:order]:
+                w.write(v, bps)
+            if order:
+                res = [
+                    blk[i] - (2 * blk[i - 1] - blk[i - 2])
+                    for i in range(order, bs)
+                ]
+            else:
+                res = blk
+            w.write(0, 2)  # rice method 0
+            w.write(0, 4)  # partition order 0
+            mean = sum(2 * abs(r) for r in res) // max(len(res), 1)
+            param = min(max(mean, 1).bit_length() - 1, 14)
+            w.write(param, 4)
+            for r in res:
+                u = (r << 1) if r >= 0 else (-r << 1) - 1
+                q = u >> param
+                w.write(1, q + 1)  # q zeros then the terminating 1
+                w.write(u, param)
+        w.align()
+        body = bytes(w.buf)
+        frames += body + _flac_crc16(body).to_bytes(2, "big")
+
+    si = bytearray()
+    last_bs = n - (n // blocksize) * blocksize or blocksize
+    si += min(blocksize, last_bs, n).to_bytes(2, "big")
+    si += min(blocksize, n).to_bytes(2, "big")
+    si += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")  # framesize unknown
+    si += bytes(
+        [
+            (rate >> 12) & 0xFF,
+            (rate >> 4) & 0xFF,
+            ((rate & 0x0F) << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4),
+            (((bps - 1) & 0x0F) << 4) | ((n >> 32) & 0x0F),
+        ]
+    )
+    si += (n & 0xFFFFFFFF).to_bytes(4, "big")
+    si += md5.digest()
+    header = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    return header + bytes(frames)

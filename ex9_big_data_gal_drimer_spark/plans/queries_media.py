@@ -420,6 +420,7 @@ def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     import numpy as np
 
     from ..operators.udtf_media import (
+        flac_encode,
         g711_compress,
         ima_adpcm_compress,
         make_wav,
@@ -445,7 +446,7 @@ def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         return smooth[k]
 
     for pdf in batches:
-        pcms, ulaws, alaws, spcms, adpcms = [], [], [], [], []
+        pcms, ulaws, alaws, spcms, adpcms, flacs = [], [], [], [], [], []
         for t in pdf["text"]:
             raw = (t or " ").encode("utf-8", "replace")
             tiled = (raw * (n_samples // len(raw) + 1))[:n_samples]
@@ -453,6 +454,9 @@ def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             pcms.append(make_wav(1, 16, x16.astype("<i2").tobytes()))
             ulaws.append(make_wav(7, 8, g711_compress(x16, "ulaw")))
             alaws.append(make_wav(6, 8, g711_compress(x16, "alaw")))
+            # the LOSSLESS leg: the identical reference waveform as a
+            # native-FLAC stream (round-12) — transparency bound is 0
+            flacs.append(flac_encode([x16.tolist()], blocksize=512))
             sp, ad = smooth_pair(1 + sum(raw) % 5)
             spcms.append(sp)
             adpcms.append(ad)
@@ -464,17 +468,18 @@ def _text_to_wav_codecs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "alaw": alaws,
                 "pcm_smooth": spcms,
                 "adpcm": adpcms,
+                "flac": flacs,
             }
         )
 
 
 def _codec_deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Decode all three containers with the REAL decoder and emit the
-    max absolute sample deviation of each companded decode from the
-    PCM reference (None from any decoder would raise on .max())."""
+    """Decode all four containers with the REAL decoder and emit the
+    max absolute sample deviation of each transcode from the PCM
+    reference (None from any decoder would raise on .max())."""
     import numpy as np
 
-    from ..operators.multimodal import decode_wav_samples
+    from ..operators.multimodal import decode_flac_samples, decode_wav_samples
 
     # 5 distinct smooth clips → memo the scalar ADPCM block decode
     # per executor, keyed on the payload bytes
@@ -486,18 +491,21 @@ def _codec_deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "ulaw_max_dev": [],
             "alaw_max_dev": [],
             "adpcm_max_dev": [],
+            "flac_max_dev": [],
         }
-        for mid, pcm, ul, al, sp, ad in zip(
+        for mid, pcm, ul, al, sp, ad, fl in zip(
             pdf["media_id"],
             pdf["pcm"],
             pdf["ulaw"],
             pdf["alaw"],
             pdf["pcm_smooth"],
             pdf["adpcm"],
+            pdf["flac"],
         ):
             ref, _ = decode_wav_samples(pcm)
             xu, _ = decode_wav_samples(ul)
             xa, _ = decode_wav_samples(al)
+            xf, _ = decode_flac_samples(fl)
             key = bytes(ad)
             if key not in adpcm_dev:
                 sref, _ = decode_wav_samples(sp)
@@ -508,6 +516,7 @@ def _codec_deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["ulaw_max_dev"].append(float(np.max(np.abs(xu - ref))))
             out["alaw_max_dev"].append(float(np.max(np.abs(xa - ref))))
             out["adpcm_max_dev"].append(adpcm_dev[key])
+            out["flac_max_dev"].append(float(np.max(np.abs(xf - ref))))
         yield pd.DataFrame(out)
 
 
@@ -524,12 +533,17 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
     design) encoded with udtf_media.ima_adpcm_compress, decoded by the
     real tag-17 block decoder, held to a 512/32768 tracking bound
     (measured headroom ~1.5× over the worst doc key, incl. the
-    cold-start step-index ramp).  The audit an audio-ingest pipeline
+    cold-start step-index ramp).  Round 12 adds the LOSSLESS leg:
+    the same reference waveform as a native-FLAC stream
+    (udtf_media.flac_encode), decoded by the full FLAC decoder
+    (multimodal.decode_flac_samples — rice residuals, fixed/LPC
+    predictors, CRC-8/16 + STREAMINFO md5 gates) and held to an
+    EXACT-ZERO deviation bound.  The audit an audio-ingest pipeline
     runs before trusting transcoded corpora.  Rows-only: DuckDB
-    cannot parse RIFF or expand G.711/ADPCM; the expansions are
+    cannot parse RIFF/FLAC or expand G.711/ADPCM; the expansions are
     pinned exactly by tests/test_multimodal.py's all-256-bytes G.711
-    roundtrip and the bit-exact ADPCM reconstruction parity against
-    an independent test encoder.
+    roundtrip and the bit-exact ADPCM/FLAC reconstruction parity
+    against independent test encoders.
 
     Scale shape: synthesis, companding and decode are Arrow-batched
     mapInPandas end-to-end; output is one bounded summary row."""
@@ -541,12 +555,12 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
     three = docs.mapInPandas(
         _text_to_wav_codecs,
         "media_id long, pcm binary, ulaw binary, alaw binary, "
-        "pcm_smooth binary, adpcm binary",
+        "pcm_smooth binary, adpcm binary, flac binary",
     )
     deltas = three.mapInPandas(
         _codec_deltas,
         "media_id long, ulaw_max_dev double, alaw_max_dev double, "
-        "adpcm_max_dev double",
+        "adpcm_max_dev double, flac_max_dev double",
     )
     bound = 1024.0 / 32768.0
     adpcm_bound = 512.0 / 32768.0
@@ -558,9 +572,14 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_alaw_over_bound"),
         F.sum(F.when(F.col("adpcm_max_dev") <= adpcm_bound, 0).otherwise(1))
         .cast("long").alias("n_adpcm_over_bound"),
+        # FLAC is LOSSLESS: the transparency bound is exact zero — any
+        # nonzero deviation means a broken rice/predictor/CRC path.
+        F.sum(F.when(F.col("flac_max_dev") == 0.0, 0).otherwise(1))
+        .cast("long").alias("n_flac_nonzero"),
         F.round(F.max("ulaw_max_dev"), 6).alias("max_ulaw_dev"),
         F.round(F.max("alaw_max_dev"), 6).alias("max_alaw_dev"),
         F.round(F.max("adpcm_max_dev"), 6).alias("max_adpcm_dev"),
+        F.round(F.max("flac_max_dev"), 6).alias("max_flac_dev"),
     )
 
 

@@ -2136,6 +2136,9 @@ def test_audio_codec_transparency_query(spark):
     assert 0 < row.max_alaw_dev <= 1024.0 / 32768.0
     assert row.n_adpcm_over_bound == 0
     assert 0 < row.max_adpcm_dev <= 512.0 / 32768.0
+    # the round-12 lossless leg: FLAC transcode is bit-exact
+    assert row.n_flac_nonzero == 0
+    assert row.max_flac_dev == 0.0
 
 
 def test_ima_adpcm_compress_matches_independent_encoder():
@@ -2479,3 +2482,431 @@ def test_corruption_grid_no_decoder_ever_raises():
                 raise AssertionError(
                     f"{name} {tag}: decoder raised {type(exc).__name__}: {exc}"
                 ) from exc
+
+
+# ---------------------------------------------------------------------------
+# FLAC (round 12): independent test-side encoder exercising the FULL
+# decoder surface — subframe types, rice variants, stereo decorrelation,
+# integrity gates — plus engine-encoder parity (the ADPCM/G.711 precedent).
+# ---------------------------------------------------------------------------
+
+_FCRC8_TAB = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _FCRC8_TAB.append(_c)
+
+_FCRC16_TAB = []
+for _i in range(256):
+    _c = _i << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _FCRC16_TAB.append(_c)
+
+
+def _fcrc8(data):  # table-driven — independent of the decoder's bitwise form
+    c = 0
+    for b in data:
+        c = _FCRC8_TAB[c ^ b]
+    return c
+
+
+def _fcrc16(data):
+    c = 0
+    for b in data:
+        c = _FCRC16_TAB[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _FBW:
+    """Independent bit writer (bit-list form, not the package's
+    accumulator form)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        self.bits.extend((v >> i) & 1 for i in reversed(range(n)))
+
+    def to_bytes(self):
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(
+            sum(b << (7 - i) for i, b in enumerate(bits[k : k + 8]))
+            for k in range(0, len(bits), 8)
+        )
+
+
+_FLAC_BS_TABLE = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+                  256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12}
+
+
+def _flac_ref_encode(
+    left,
+    right=None,
+    rate=8000,
+    bps=16,
+    mode="indep",
+    subframe="fixed2",
+    rice_method=0,
+    porder=0,
+    rice_param=None,
+    escape=False,
+    wasted=0,
+    lpc=None,
+    md5_override=None,
+):
+    """Single-frame FLAC stream around planted channel samples.
+
+    ``subframe``: constant | verbatim | fixed0..fixed4 | lpc (then
+    ``lpc=(coefs, precision, shift)``).  ``mode``: indep | ls | rs |
+    ms.  ``escape`` forces every rice partition to the raw-bits escape.
+    ``wasted`` plants a wasted-bits-per-sample shift (samples must be
+    divisible by 2**wasted)."""
+    import hashlib as _hl
+
+    chans = [list(map(int, left))]
+    if right is not None:
+        chans.append(list(map(int, right)))
+    n = len(chans[0])
+    nch = len(chans)
+
+    if mode == "indep":
+        subs = [(c, 0) for c in chans]
+        ch_code = nch - 1
+    elif mode == "ls":
+        subs = [(chans[0], 0),
+                ([l - r for l, r in zip(*chans)], 1)]
+        ch_code = 8
+    elif mode == "rs":
+        subs = [([l - r for l, r in zip(*chans)], 1), (chans[1], 0)]
+        ch_code = 9
+    else:  # ms
+        subs = [([(l + r) >> 1 for l, r in zip(*chans)], 0),
+                ([l - r for l, r in zip(*chans)], 1)]
+        ch_code = 10
+
+    w = _FBW()
+    w.w(0x3FFE, 14)
+    w.w(0, 1)
+    w.w(0, 1)  # fixed blocking
+    bs_code = _FLAC_BS_TABLE.get(n, 6 if n <= 256 else 7)
+    w.w(bs_code, 4)
+    w.w(13, 4)  # sample rate: explicit 16-bit Hz (engine encoder uses 0)
+    w.w(ch_code, 4)
+    w.w({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+    w.w(0, 1)
+    w.w(0, 8)  # frame number 0 (1-byte utf8)
+    if bs_code == 6:
+        w.w(n - 1, 8)
+    elif bs_code == 7:
+        w.w(n - 1, 16)
+    w.w(rate, 16)
+    hdr = w.to_bytes()
+    w.w(_fcrc8(hdr), 8)
+
+    for samples, extra in subs:
+        depth = bps + extra
+        s = [v >> wasted for v in samples]
+        d = depth - wasted
+        w.w(0, 1)
+        if subframe == "constant":
+            assert len(set(s)) == 1
+            w.w(0, 6)
+            w.w(1 if wasted else 0, 1)
+            if wasted:
+                w.w(1, wasted)  # unary(wasted-1): zeros then 1
+            w.w(s[0] & ((1 << d) - 1), d)
+            continue
+        if subframe == "verbatim":
+            w.w(1, 6)
+            w.w(1 if wasted else 0, 1)
+            if wasted:
+                w.w(1, wasted)
+            for v in s:
+                w.w(v & ((1 << d) - 1), d)
+            continue
+        if subframe == "lpc":
+            coefs, prec, shift = lpc
+            order = len(coefs)
+            w.w(31 + order, 6)
+        else:
+            order = int(subframe[-1])
+            w.w(8 + order, 6)
+        w.w(1 if wasted else 0, 1)
+        if wasted:
+            w.w(1, wasted)
+        for v in s[:order]:
+            w.w(v & ((1 << d) - 1), d)
+        if subframe == "lpc":
+            w.w(prec - 1, 4)
+            w.w(shift & 0x1F, 5)
+            for c in coefs:
+                w.w(c & ((1 << prec) - 1), prec)
+            preds = [
+                sum(c * s[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+                for i in range(order, len(s))
+            ]
+        else:
+            fixed = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1),
+                     4: (4, -6, 4, -1)}[order]
+            preds = [
+                sum(c * s[i - 1 - j] for j, c in enumerate(fixed))
+                for i in range(order, len(s))
+            ]
+        res = [s[i + order] - p for i, p in enumerate(preds)]
+        w.w(rice_method, 2)
+        w.w(porder, 4)
+        pbits = 4 + rice_method
+        esc = (1 << pbits) - 1
+        part = len(s) >> porder
+        k = 0
+        for p in range(1 << porder):
+            cnt = part - (order if p == 0 else 0)
+            chunk = res[k : k + cnt]
+            k += cnt
+            if escape:
+                nbits = max(
+                    (v.bit_length() + 1 for v in chunk), default=1
+                )
+                w.w(esc, pbits)
+                w.w(nbits, 5)
+                for v in chunk:
+                    w.w(v & ((1 << nbits) - 1), nbits)
+            else:
+                if rice_param is None:
+                    m = sum(
+                        2 * v if v >= 0 else -2 * v - 1 for v in chunk
+                    ) // max(len(chunk), 1)
+                    param = min(max(m, 1).bit_length() - 1, esc - 1)
+                else:
+                    param = rice_param
+                w.w(param, pbits)
+                for v in chunk:
+                    u = (v << 1) if v >= 0 else (-v << 1) - 1
+                    w.w(0, u >> param)
+                    w.w(1, 1)
+                    w.w(u & ((1 << param) - 1), param)
+
+    frame = w.to_bytes()
+    stream = frame + _fcrc16(frame).to_bytes(2, "big")
+
+    md5 = _hl.md5()
+    for i in range(n):
+        for c in chans:
+            md5.update(c[i].to_bytes(bps // 8, "little", signed=True))
+    si = bytearray()
+    si += n.to_bytes(2, "big") * 2
+    si += bytes(6)
+    si += bytes([
+        (rate >> 12) & 0xFF,
+        (rate >> 4) & 0xFF,
+        ((rate & 0x0F) << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4),
+        (((bps - 1) & 0x0F) << 4),
+    ])
+    si += n.to_bytes(4, "big")
+    si += md5_override if md5_override is not None else md5.digest()
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si) + stream
+
+
+def _flac_expected(left, right=None, bps=16):
+    import numpy as np
+
+    chans = [np.asarray(left, dtype=np.float64)]
+    if right is not None:
+        chans.append(np.asarray(right, dtype=np.float64))
+    return np.mean(chans, axis=0) / float(1 << (bps - 1))
+
+
+def _flac_dec(payload):
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        decode_flac_samples,
+    )
+
+    return decode_flac_samples(payload)
+
+
+def test_flac_fixed_orders_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = [int(v) for v in rng.randint(-4000, 4000, 192)]
+    for order in range(5):
+        got, rate = _flac_dec(
+            _flac_ref_encode(x, subframe=f"fixed{order}")
+        )
+        assert rate == 8000
+        assert np.array_equal(got, _flac_expected(x)), f"order {order}"
+
+
+def test_flac_rice_method1_partitions_and_escape():
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    x = [int(v) for v in rng.randint(-30000, 30000, 256)]
+    for kw in (
+        {"rice_method": 1},
+        {"porder": 3},
+        {"rice_method": 1, "porder": 2},
+        {"escape": True},
+        {"escape": True, "porder": 2},
+        {"rice_param": 0},
+    ):
+        got, _ = _flac_dec(_flac_ref_encode(x, **kw))
+        assert np.array_equal(got, _flac_expected(x)), kw
+
+
+def test_flac_constant_verbatim_and_wasted_bits():
+    import numpy as np
+
+    const = [-712] * 64
+    got, _ = _flac_dec(_flac_ref_encode(const, subframe="constant"))
+    assert np.array_equal(got, _flac_expected(const))
+
+    rng = np.random.RandomState(5)
+    x = [int(v) for v in rng.randint(-32768, 32767, 64)]
+    got, _ = _flac_dec(_flac_ref_encode(x, subframe="verbatim"))
+    assert np.array_equal(got, _flac_expected(x))
+
+    shifted = [v * 8 for v in rng.randint(-512, 512, 64)]  # 3 wasted bits
+    got, _ = _flac_dec(_flac_ref_encode(shifted, wasted=3))
+    assert np.array_equal(got, _flac_expected(shifted))
+
+
+def test_flac_lpc_subframe():
+    import numpy as np
+
+    rng = np.random.RandomState(6)
+    x = [int(v) for v in rng.randint(-2000, 2000, 128)]
+    for coefs, prec, shift in (
+        ((1229, -205), 12, 10),   # damped order-2 predictor
+        ((51, 20, -8, 1), 7, 5),
+        ((3,), 3, 1),
+    ):
+        got, _ = _flac_dec(
+            _flac_ref_encode(x, subframe="lpc", lpc=(coefs, prec, shift))
+        )
+        assert np.array_equal(got, _flac_expected(x)), coefs
+
+
+def test_flac_stereo_decorrelation_modes():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    l = [int(v) for v in rng.randint(-9000, 9000, 192)]
+    r = [int(v) for v in rng.randint(-9000, 9000, 192)]
+    for mode in ("indep", "ls", "rs", "ms"):
+        got, _ = _flac_dec(_flac_ref_encode(l, r, mode=mode))
+        assert np.array_equal(got, _flac_expected(l, r)), mode
+
+
+def test_flac_8bit_depth():
+    import numpy as np
+
+    x = [((i * 37) % 256) - 128 for i in range(100)]
+    got, _ = _flac_dec(_flac_ref_encode(x, bps=8))
+    assert np.array_equal(got, _flac_expected(x, bps=8))
+
+
+def test_flac_integrity_gates_reject():
+    import numpy as np
+
+    rng = np.random.RandomState(8)
+    x = [int(v) for v in rng.randint(-1000, 1000, 64)]
+    good = _flac_ref_encode(x)
+    assert _flac_dec(good) is not None
+
+    # frame byte corruption -> CRC16 gate (flip a residual bit)
+    bad = bytearray(good)
+    bad[-3] ^= 0x10
+    assert _flac_dec(bytes(bad)) is None
+
+    # header byte corruption -> CRC8 gate (channel assignment nibble)
+    bad = bytearray(good)
+    bad[42 + 3] ^= 0x01
+    assert _flac_dec(bytes(bad)) is None
+
+    # STREAMINFO md5 mismatch -> md5 gate (CRCs intact, hash wrong)
+    tampered = _flac_ref_encode(x, md5_override=bytes(15) + b"\x01")
+    assert _flac_dec(tampered) is None
+
+    # zeroed md5 means "unknown" -> decode succeeds without the gate
+    unknown = _flac_ref_encode(x, md5_override=bytes(16))
+    got, _ = _flac_dec(unknown)
+    assert np.array_equal(got, _flac_expected(x))
+
+    # truncation mid-frame
+    assert _flac_dec(good[: len(good) - 5]) is None
+    assert _flac_dec(b"fLaC") is None
+    assert _flac_dec(b"not flac at all" * 4) is None
+
+
+def test_flac_engine_encoder_parity_with_independent_decoder_path():
+    """The package corpus encoder (udtf_media.flac_encode) must decode
+    bit-exactly, including multi-frame streams and stereo — and its
+    stream must carry a VERIFIABLE md5 (the decoder only returns
+    samples after the hash gate passes)."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import flac_encode
+
+    rng = np.random.RandomState(9)
+    x = [int(v) for v in rng.randint(-32768, 32767, 3000)]
+    got, rate = _flac_dec(flac_encode([x], rate=44100, blocksize=512))
+    assert rate == 44100
+    assert np.array_equal(got, _flac_expected(x))
+
+    l = [int(v) for v in rng.randint(-500, 500, 777)]
+    r = [int(v) for v in rng.randint(-500, 500, 777)]
+    got, _ = _flac_dec(flac_encode([l, r], blocksize=256))
+    assert np.array_equal(got, _flac_expected(l, r))
+
+
+def test_flac_audio_features_match_wav_of_same_samples(spark):
+    """extract_audio_features over a FLAC payload equals the same
+    samples' PCM WAV features — the decode tiers are interchangeable
+    upstream of the feature math."""
+    import numpy as np
+
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import (
+        flac_encode,
+        make_wav,
+    )
+
+    x = np.round(
+        12000 * np.sin(2 * np.pi * 5 * np.arange(1600) / 1600)
+    ).astype(np.int64)
+    wav = make_wav(1, 16, x.astype("<i2").tobytes())
+    flac = flac_encode([[int(v) for v in x]], blocksize=400)
+    df = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(flac))],
+        schema="media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_audio_features(df, real_decoder=True).collect()
+    }
+    for field in ("duration_s", "rms", "peak", "zcr",
+                  "spectral_centroid_hz", "spectral_rolloff_hz"):
+        assert getattr(rows[0], field) == getattr(rows[1], field), field
+
+
+def test_flac_sniff_mime_and_duration(spark):
+    """_sniff classifies FLAC payloads and reads duration from the
+    fixed-offset STREAMINFO fields, all JVM-side."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        attach_media_meta,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import flac_encode
+
+    x = [((i * 13) % 2000) - 1000 for i in range(16000)]  # 2 s at 8 kHz
+    df = spark.createDataFrame(
+        [(0, bytearray(flac_encode([x], rate=8000)))],
+        schema="media_id long, payload binary",
+    )
+    meta = attach_media_meta(df).select("meta.*").collect()[0]
+    assert meta.mime == "audio/flac"
+    assert meta.duration_ms == 2000
