@@ -105,3 +105,17 @@ def train_bpe_merges(seqs: DataFrame, rounds: int) -> list[Row]:
             "seq", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
         )
     return merges
+
+
+def apply_bpe_merges(seq_col: F.Column, merges: list[Row]) -> F.Column:
+    """Apply a trained merge table to a padded symbol-string column —
+    the SEGMENTATION half of the lifecycle (train → apply).  Each
+    merge is the same double leftmost-non-overlapping replace the
+    training rounds used, applied in training order, so segmenting the
+    training corpus reproduces the training-end sequences exactly."""
+    out = seq_col
+    for m in merges:
+        pat = F.lit(f" {m.lhs} {m.rhs} ")
+        rep = F.lit(f" {m.merged} ")
+        out = F.replace(F.replace(out, pat, rep), pat, rep)
+    return out

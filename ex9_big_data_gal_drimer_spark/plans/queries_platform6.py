@@ -1,4 +1,4 @@
-"""Round-12 additions — the three frontier tiers the round-11 verdict
+"""Round-12 additions — the frontier tiers the round-11 verdict
 named next, all registered ROWS-ONLY with STAGED oracles (the 200-row
 oracle capacity is permanently full; staged oracles run the full
 differential at every pytest via tests/test_staged_oracles.py — the
@@ -22,6 +22,11 @@ permanent growth mode).
   fixed-budget merge rounds (precedent: pagerank_part_cooccurrence's
   fixed-round iteration), oracle = DuckDB unrolled CTE rounds.
   Operator: operators/bpe.py.
+- **BPE segmentation apply** (`bpe_apply_segment`) — the other half
+  of the lifecycle: the trained merge table segments the FULL corpus
+  vocabulary (|vocab| cost, not |corpus|) and rolls up per-source
+  token/compression statistics; the oracle shares the training CTE
+  chain verbatim so train and apply cannot drift.
 """
 
 from __future__ import annotations
@@ -206,10 +211,12 @@ def _bpe_round_cte(n: int) -> str:
     )"""
 
 
-@register(
-    "bpe_train_merges",
-    staged_oracle="""
-    WITH words AS (
+#: The 3-round training CTE chain, shared VERBATIM by the train query
+#: (reads b1..b3) and the apply query (reads b1..b3 to segment the
+#: full vocabulary) — one definition, so the two oracles cannot drift.
+_BPE_TRAIN_CTES = (
+    """
+    words AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
             SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
             FROM documents
@@ -225,7 +232,13 @@ def _bpe_round_cte(n: int) -> str:
         FROM words
     ),"""
     + ",".join(_bpe_round_cte(n) for n in (1, 2, 3))
-    + """
+)
+
+
+@register(
+    "bpe_train_merges",
+    staged_oracle=f"""
+    WITH {_BPE_TRAIN_CTES}
     SELECT * FROM (
         SELECT 1 AS round, l AS lhs, r AS rhs, pc AS pair_count,
                l || r AS merged FROM b1
@@ -266,3 +279,123 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="round int, lhs string, rhs string, "
         "pair_count bigint, merged string",
     ).orderBy("round")
+
+
+def _bpe_apply_cte(n: int) -> str:
+    return f"""
+    vocab{n} AS (
+        SELECT w,
+               replace(replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+                                    ' ' || b.l || b.r || ' '),
+                              ' ' || b.l || ' ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' ') AS seq
+        FROM vocab{n - 1}, b{n} b
+    )"""
+
+
+@register(
+    "bpe_apply_segment",
+    staged_oracle=f"""
+    WITH {_BPE_TRAIN_CTES},
+    occ AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        ) WHERE length(w) >= 1 GROUP BY source, w
+    ),
+    vocab0 AS (
+        SELECT DISTINCT w,
+               ' ' || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substring(w, CAST(i AS INT), 1)), ' ')
+               || ' ' AS seq
+        FROM occ
+    ),{",".join(_bpe_apply_cte(n) for n in (1, 2, 3))},
+    tok AS (
+        SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT)
+                   AS n_tokens
+        FROM vocab3
+    )
+    SELECT o.source,
+           CAST(SUM(o.cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(length(o.w) * o.cnt) AS BIGINT) AS chars_total,
+           CAST(SUM(t.n_tokens * o.cnt) AS BIGINT) AS tokens_total,
+           ROUND(CAST(SUM(length(o.w) * o.cnt) AS DOUBLE)
+                 / SUM(t.n_tokens * o.cnt), 4) AS chars_per_token
+    FROM occ o JOIN tok t ON t.w = o.w
+    GROUP BY o.source ORDER BY o.source
+    """,
+)
+def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the BPE lifecycle: train the 3-round merge
+    table (identically to `bpe_train_merges`), then segment the FULL
+    corpus vocabulary with it and roll up per-source token statistics
+    — occurrences, distinct words, chars, post-merge tokens, and the
+    chars-per-token compression the tokenizer achieves.
+
+    Scale shape: two corpus-scale aggregations (the training word
+    count and the per-(source, word) occurrence count — both
+    map-side-combinable), then everything else is vocabulary-sized:
+    the merge rewrite is a chain of literal `replace` expressions over
+    the DISTINCT-word relation (operators/bpe.py::apply_bpe_merges),
+    joined back to the occurrence counts on the word equi-key.  No
+    per-document re-segmentation: a word segments the same way
+    everywhere, so the corpus-wide apply costs |vocab|, not |corpus|
+    — the property that makes tokenizer application tractable at
+    100 TB."""
+    from ..operators.bpe import apply_bpe_merges
+
+    docs = table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = (
+        occ.groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(500)
+    )
+    seqs = words.select(
+        "w", "cnt", chars_to_seq(F.col("w")).alias("seq")
+    ).persist()
+    try:
+        merges = train_bpe_merges(seqs, rounds=3)
+    finally:
+        seqs.unpersist()
+    tok = occ.select("w").distinct().select(
+        "w",
+        F.size(
+            F.split(
+                F.trim(apply_bpe_merges(chars_to_seq(F.col("w")), merges)),
+                " ",
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        occ.join(tok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_word_occurrences"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(F.length("w").cast("long") * F.col("cnt")).alias(
+                "chars_total"
+            ),
+            F.sum(F.col("n_tokens") * F.col("cnt")).alias("tokens_total"),
+            F.round(
+                F.sum(F.length("w").cast("long") * F.col("cnt")).cast(
+                    "double"
+                )
+                / F.sum(F.col("n_tokens") * F.col("cnt")),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -172,3 +172,27 @@ def test_bpe_stops_when_fully_merged(spark):
     merges = train_bpe_merges(_seqs(spark, {"hi": 3}), rounds=5)
     assert len(merges) == 1
     assert merges[0].merged == "hi"
+
+
+def test_bpe_apply_reproduces_training_sequences(spark):
+    """Segmenting the training corpus with the trained merge table
+    reproduces the training-end token counts: 'newest' -> n e w est
+    (4 tokens) after the (e,s)+(es,t) merges, 'low' -> lo w (2)."""
+    from ex9_big_data_gal_drimer_spark.operators.bpe import apply_bpe_merges
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    seqs = _seqs(spark, wc).persist()
+    merges = train_bpe_merges(seqs, rounds=3)
+    seqs.unpersist()
+    out = {
+        r.w: r.n
+        for r in _seqs(spark, wc)
+        .select(
+            "w",
+            F.size(
+                F.split(F.trim(apply_bpe_merges(F.col("seq"), merges)), " ")
+            ).alias("n"),
+        )
+        .collect()
+    }
+    assert out == {"low": 2, "lower": 4, "newest": 4, "widest": 4}
