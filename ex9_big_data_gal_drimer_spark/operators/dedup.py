@@ -402,8 +402,12 @@ def remove_duplicate_spans(
     shuffles are equi-key and map-side-combinable; no pairs, no
     corpus sort, no driver-side data.
 
-    Returns one row per input doc: id, ``keep_cols``, ``orig_len``,
-    ``n_tiles``, ``n_tiles_removed``, ``new_text``.
+    Returns one row per input doc with at least one character: id,
+    ``keep_cols``, ``orig_len``, ``n_tiles``, ``n_tiles_removed``,
+    ``new_text``.  Empty/NULL-text docs own no tiles and are EXCLUDED
+    from the output (the DuckDB oracle mirrors the same filter);
+    callers reconciling against the source corpus should treat a
+    missing id as an empty input, not a fully-removed one.
     """
     from pyspark.sql.window import Window
 

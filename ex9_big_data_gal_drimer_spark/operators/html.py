@@ -38,8 +38,12 @@ BLOCK_RES: tuple[str, ...] = (
 #: Any remaining tag — dropped, content kept.
 TAG_RE = r"<[^>]+>"
 
-#: Whitespace runs collapse to one space after tag removal.
-WS_RE = r"\s+"
+#: Whitespace runs collapse to one space after tag removal.  Spelled
+#: as an explicit class, NOT ``\s``: Java's default ``\s`` is
+#: ``[ \t\n\x0B\f\r]`` while RE2's is ``[ \t\n\f\r]`` — vertical tab
+#: would diverge the two engines, so the class is pinned to the
+#: common set.
+WS_RE = r"[ \t\n\f\r]+"
 
 #: Entity decode table, applied in order.  ``&amp;`` is decoded LAST
 #: so double-escaped sequences (``&amp;lt;``) do not double-decode —

@@ -164,7 +164,9 @@ def _sniff(payload: F.Column):
         wav_canonical & (byte_rate > 0),
         F.round(data_len * 1000.0 / byte_rate).cast("long"),
     ).when(
-        flac_streaminfo & (flac_rate > 0),
+        # total-samples 0 means UNKNOWN per spec (piped encodes) —
+        # leave duration NULL rather than reporting a zero-length clip
+        flac_streaminfo & (flac_rate > 0) & (flac_total > 0),
         F.round(flac_total * 1000.0 / flac_rate).cast("long"),
     )
     return mime, width, height, duration_ms
@@ -1850,14 +1852,32 @@ class _FlacBits:
         self.pos = (self.pos + 7) & ~7
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask, top = (1 << width) - 1, 1 << (width - 1)
+    tab = []
+    for i in range(256):
+        c = i << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & mask if c & top else (c << 1) & mask
+        tab.append(c)
+    return tab
+
+
+#: Table-driven CRCs (one lookup per byte): these run on the decode
+#: hot path — per frame, CRC-8 over the header and CRC-16 over the
+#: whole frame — where the bitwise form costs 8 Python iterations per
+#: byte.  The test-side encoder keeps its own independently-written
+#: tables (tests/test_multimodal.py).
+_FLAC_CRC8_TAB = _crc_table(0x07, 8)
+_FLAC_CRC16_TAB = _crc_table(0x8005, 16)
+
+
 def _flac_crc8(data: bytes) -> int:
     """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the frame-header
     checksum."""
     c = 0
     for byte in data:
-        c ^= byte
-        for _ in range(8):
-            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        c = _FLAC_CRC8_TAB[c ^ byte]
     return c
 
 
@@ -1866,13 +1886,7 @@ def _flac_crc16(data: bytes) -> int:
     whole-frame checksum."""
     c = 0
     for byte in data:
-        c ^= byte << 8
-        for _ in range(8):
-            c = (
-                ((c << 1) ^ 0x8005) & 0xFFFF
-                if c & 0x8000
-                else (c << 1) & 0xFFFF
-            )
+        c = _FLAC_CRC16_TAB[((c >> 8) ^ byte) & 0xFF] ^ ((c << 8) & 0xFFFF)
     return c
 
 
@@ -2047,19 +2061,27 @@ def decode_flac_samples(b: bytes):
         n = len(chans[0])
         if n == 0:
             return None
+        arr = np.array(chans, dtype=np.int64)
+        # Sample-range gate: a CRC-valid but corrupt/hostile stream can
+        # walk a predictor outside the declared bit depth.  Such a
+        # stream is undecodable by contract — return None (stub tier),
+        # never raise or emit out-of-range samples.
+        lim = 1 << (bps - 1)
+        if int(arr.min()) < -lim or int(arr.max()) >= lim:
+            return None
         if any(md5) and bps % 8 == 0:
             step = bps // 8
-            raw = bytearray(n * channels * step)
-            for ci, c in enumerate(chans):
-                for i, v in enumerate(c):
-                    off = (i * channels + ci) * step
-                    raw[off : off + step] = v.to_bytes(
-                        step, "little", signed=True
-                    )
-            if hashlib.md5(bytes(raw)).digest() != md5:
+            if step in (1, 2, 4):  # vectorized interleave for native widths
+                dt = {1: "<i1", 2: "<i2", 4: "<i4"}[step]
+                raw = arr.T.astype(dt).tobytes()
+            else:  # 24-bit has no native dtype — scalar pack
+                raw = b"".join(
+                    int(v).to_bytes(3, "little", signed=True)
+                    for v in arr.T.ravel()
+                )
+            if hashlib.md5(raw).digest() != md5:
                 return None
-        arr = np.array(chans, dtype=np.float64) / float(1 << (bps - 1))
-        return arr.mean(axis=0), rate
+        return arr.astype(np.float64).mean(axis=0) / float(lim), rate
     except _FlacError:
         return None
 

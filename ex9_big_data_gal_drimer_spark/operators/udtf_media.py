@@ -645,6 +645,11 @@ def flac_encode(
         raise ValueError("flac_encode: 1-8 equal-length channels required")
     if bps not in (8, 16, 24):
         raise ValueError("flac_encode: bps must be 8, 16, or 24")
+    if blocksize < 16:
+        # RFC 9639: block sizes under 16 are invalid except for the
+        # stream's LAST block — a fixed encoder parameter under 16
+        # would make every frame non-conformant
+        raise ValueError("flac_encode: blocksize must be >= 16")
     lim = 1 << (bps - 1)
     if any(v < -lim or v >= lim for c in chans for v in c):
         raise ValueError("flac_encode: sample exceeds bps range")
@@ -702,9 +707,11 @@ def flac_encode(
         frames += body + _flac_crc16(body).to_bytes(2, "big")
 
     si = bytearray()
-    last_bs = n - (n // blocksize) * blocksize or blocksize
-    si += min(blocksize, last_bs, n).to_bytes(2, "big")
-    si += min(blocksize, n).to_bytes(2, "big")
+    # Fixed-blocking stream: min == max == the encoder blocksize (RFC
+    # 9639 excludes the stream's short LAST block from min/max — equal
+    # values are what SIGNALS the fixed-blocksize strategy).
+    si += blocksize.to_bytes(2, "big")
+    si += blocksize.to_bytes(2, "big")
     si += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")  # framesize unknown
     si += bytes(
         [

@@ -87,3 +87,36 @@ def test_snapshot_sequence_preserves_clean_pass(benchmod, tmp_path):
     write_pass("gate-rerun-2\n")
     assert prev.read_text() == "clean-r12\n"   # still the clean pass
     assert art.read_text() == "gate-rerun-2\n"
+
+
+def test_close_round_prune_keeps_inround_snapshot(tmp_path):
+    """The chain-start prune (tools/close_round.sh) deletes only .prev
+    files matching their base's HEAD copy; an in-round clean-pass
+    snapshot (differs from HEAD — created by a mid-chain failure +
+    re-run) must survive."""
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    _git(repo, "init", "-q")
+    (repo / "SCALING_sf1.json").write_text("committed\n")
+    _git(repo, "add", "SCALING_sf1.json")
+    _git(repo, "commit", "-qm", "prior round")
+
+    stale = repo / "SCALING_sf1.json.prev"
+    stale.write_text("committed\n")           # last round's leftover
+    live = repo / "BENCH_FULL_r12.json.prev"
+    live.write_text("clean-pass\n")           # uncommitted in-round snapshot
+
+    # the prune loop from tools/close_round.sh, verbatim semantics
+    prune = r"""
+    cd "$1"
+    for prev in ./*.json.prev; do
+      [ -e "$prev" ] || continue
+      base=$(basename "${prev%.prev}")
+      if git show "HEAD:${base}" 2>/dev/null | cmp -s - "$prev"; then
+        rm -f "$prev"
+      fi
+    done
+    """
+    subprocess.run(["bash", "-c", prune, "-", str(repo)], check=True)
+    assert not stale.exists()   # matched HEAD -> pruned
+    assert live.exists()        # differs from HEAD (untracked base) -> kept

@@ -2691,10 +2691,11 @@ def _flac_ref_encode(
     frame = w.to_bytes()
     stream = frame + _fcrc16(frame).to_bytes(2, "big")
 
-    md5 = _hl.md5()
-    for i in range(n):
-        for c in chans:
-            md5.update(c[i].to_bytes(bps // 8, "little", signed=True))
+    if md5_override is None:
+        md5 = _hl.md5()
+        for i in range(n):
+            for c in chans:
+                md5.update(c[i].to_bytes(bps // 8, "little", signed=True))
     si = bytearray()
     si += n.to_bytes(2, "big") * 2
     si += bytes(6)
@@ -2910,3 +2911,58 @@ def test_flac_sniff_mime_and_duration(spark):
     meta = attach_media_meta(df).select("meta.*").collect()[0]
     assert meta.mime == "audio/flac"
     assert meta.duration_ms == 2000
+
+
+def test_flac_out_of_range_samples_return_none_not_crash():
+    """A CRC-valid stream whose FIXED predictor walks a sample past
+    the declared bit depth is undecodable by contract: decode returns
+    None (stub tier) — it must never raise (the round-12 review found
+    an OverflowError escaping via the md5 interleave) and never emit
+    out-of-range samples."""
+    # order-1 FIXED: warmup 32767, residuals +2 -> reconstructs 32769
+    bad = _flac_ref_encode(
+        [32767, 32769, 32771], subframe="fixed1", md5_override=bytes(16)
+    )
+    assert _flac_dec(bad) is None
+    # and the negative direction
+    bad = _flac_ref_encode(
+        [-32768, -32770, -32772], subframe="fixed1", md5_override=bytes(16)
+    )
+    assert _flac_dec(bad) is None
+
+
+def test_flac_encode_streaminfo_fixed_blocking_conformance():
+    """min blocksize == max blocksize on a fixed-blocking stream (RFC
+    9639 excludes the short last block), and sub-16 block sizes are
+    rejected up front."""
+    import pytest as _pytest
+
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import flac_encode
+
+    enc = flac_encode([[1, 2, 3] * 100], blocksize=64)  # 300 % 64 != 0
+    si = enc[8:42]
+    assert int.from_bytes(si[0:2], "big") == int.from_bytes(si[2:4], "big") == 64
+    with _pytest.raises(ValueError, match="blocksize"):
+        flac_encode([[1, 2, 3]], blocksize=8)
+
+
+def test_flac_sniff_unknown_total_leaves_duration_null(spark):
+    """STREAMINFO total-samples 0 means UNKNOWN — duration_ms must be
+    NULL, not 0."""
+    from ex9_big_data_gal_drimer_spark.operators.multimodal import (
+        attach_media_meta,
+    )
+    from ex9_big_data_gal_drimer_spark.operators.udtf_media import flac_encode
+
+    enc = bytearray(flac_encode([[5] * 100], rate=8000))
+    # zero the 36-bit total-samples field (STREAMINFO bytes 13..17,
+    # stream offset 8): low nibble of byte 13 + bytes 14-17
+    enc[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        enc[8 + i] = 0
+    df = spark.createDataFrame(
+        [(0, bytes(enc))], schema="media_id long, payload binary"
+    )
+    meta = attach_media_meta(df).select("meta.*").collect()[0]
+    assert meta.mime == "audio/flac"
+    assert meta.duration_ms is None

@@ -65,7 +65,7 @@ def test_span_removal_partitions_bytes(spark, docs):
         min_size=1,
         max_size=400,
     ),
-    blocksize=st.integers(min_value=3, max_value=64),
+    blocksize=st.integers(min_value=16, max_value=64),
 )
 @settings(max_examples=25, deadline=None)
 def test_flac_roundtrip_bit_exact(samples, blocksize):

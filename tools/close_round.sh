@@ -14,14 +14,24 @@
 set -e
 R=${1:?round tag, e.g. r06}
 cd "$(dirname "$0")/.."
-# Round-11 ADVICE: prune stale .prev snapshots from prior rounds at
+# Round-11 ADVICE: prune STALE .prev snapshots from prior rounds at
 # chain start.  Round-agnostic artifact names (SCALING_sf*.json) would
 # otherwise carry a leftover .prev that blocks bench.py's
 # one-snapshot-per-leg guard, so an in-round gate rerun could
-# overwrite this round's clean pass with no backup.  Everything a
-# stale .prev preserved is already committed (recover via
-# `git checkout -- <file>`), so this deletes nothing unique.
-rm -f ./*.json.prev
+# overwrite this round's clean pass with no backup.  Stale = the .prev
+# matches its base file's git-committed (HEAD) copy — already
+# preserved by git, nothing unique.  A .prev that DIFFERS from HEAD is
+# this round's own uncommitted clean pass (a mid-chain failure +
+# re-run can create one) and must survive the prune.
+for prev in ./*.json.prev; do
+  [ -e "$prev" ] || continue
+  base=$(basename "${prev%.prev}")
+  if git show "HEAD:${base}" 2>/dev/null | cmp -s - "$prev"; then
+    rm -f "$prev"
+  else
+    echo "keeping in-round snapshot ${prev} (differs from HEAD)"
+  fi
+done
 echo "=== bench sf0.1 -> BENCH_FULL_${R}.json ==="
 SPARK_GRAFT_BENCH_OUT=BENCH_FULL_${R}.json python bench.py > /tmp/bench_${R}.json
 echo "=== DuckDB baseline -> DUCKDB_SF01.json ==="
