@@ -62,85 +62,85 @@ from . import queries_platform6  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # ------------------------------------------------------------------
-    # ROUND-12 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
+    # ROUND-13 WINDOW.  Policy unchanged (round-3 verdict ask #3): ONLY
     # oracle-bearing queries are seated; rows-only tiers are never
     # seated (the driver banks nothing for them).
     # No promotions this round (the 200-oracle capacity is permanently
-    # full; all round-12 additions are staged-oracle rows-only).
-    # Rolling re-verification: ALL 50 r08-vintage rows (the full
-    # CORRECTNESS_r08 bank -- none re-banked since).  There is no age-5
-    # cohort at the r12 bank (the r07 cohort is empty), so this seating
-    # is cadence-keeping rather than gate-mandatory: it preserves the
-    # permanent 4-round rotation (r12->r08 cohort, r13->r09, r14->r10,
-    # r15->r11, ...) with the window exactly full each round.
+    # full; all round-13 additions are staged-oracle rows-only).
+    # Rolling re-verification: ALL 50 r09-vintage rows (the full
+    # CORRECTNESS_r09 bank -- none re-banked since).  This seating is
+    # GATE-MANDATORY: the r09 cohort reaches age 4 at the r13 bank and
+    # tools/preflight.py --check-vintage flags any banked oracle row
+    # strictly older than 4 rounds that is not seated.  Permanent
+    # rotation continues r14->r10, r15->r11, r16->r12, ...
     # Alphabetical (all same vintage).
-    "basket_lift_top_pairs",
-    "bloom_filter_fp_audit",
-    "corpus_novelty_curve",
-    "cross_source_fingerprint_overlap",
-    "daily_revenue_autocorr",
-    "decontaminate_against_eval",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "doc_quality_scores",
-    "doc_repetition_quality",
-    "dow_seasonality_index",
-    "dp_clipping_audit",
-    "edit_distance_verify_lsh",
-    "event_interarrival_profile",
-    "event_sequence_cohorts",
-    "events_enriched_by_nation",
-    "events_ohlc_hourly",
-    "events_rollup_cascade",
-    "from_json_typed",
-    "funnel_view_click_purchase",
-    "hotels_q1",
-    "hotels_q2",
-    "hotels_q3",
-    "hotels_q4",
-    "hotels_q5",
-    "hotels_q6",
-    "ivf_cell_balance_audit",
-    "join_cardinality_audit",
-    "k_anonymity_audit",
-    "knn_vectorized_cosine",
-    "l_diversity_audit",
-    "lineitem_price_stats",
-    "listagg_top_parts_by_brand",
-    "markov_next_event_entropy",
-    "monthly_revenue_momentum",
-    "multiformat_roundtrip_audit",
-    "pack_sequences",
-    "part_cooccurrence_top20",
-    "partitioned_scan_pruning",
-    "pii_redaction_audit",
-    "range_join_price_bands",
-    "resample_user_hourly",
-    "rolling_revenue_frames",
-    "snapshot_diff_cdc",
-    "split_leakage_check",
-    "sq_quantization_error_audit",
-    "table_stats_profile",
-    "tfidf_top_terms",
-    "variant_json_events",
-    "zorder_layout_audit",
+    "array_agg_segments",
+    "bitmap_distinct_rollup",
+    "cdc_merge_customers",
+    "chi2_status_priority",
+    "customer_balance_deciles",
+    "dedup_keep_best_doc",
+    "doc_bigram_logprob",
+    "doc_type_token_ratio",
+    "doc_zipf_slope",
+    "dq_contract_orders",
+    "embedding_norm_outliers",
+    "event_retention_cohorts",
+    "events_anomaly_zscore",
+    "events_click_nonconverting",
+    "ewma_user_value",
+    "group_aware_split",
+    "histogram_order_totals",
+    "incremental_agg_maintenance",
+    "late_event_lateness_audit",
+    "ngram_duplication_audit",
+    "orders_running_share_pareto",
+    "orders_yoy_growth_by_nation",
+    "pagerank_part_cooccurrence",
+    "phrase_search_positional",
+    "price_size_regression",
+    "profile_orders_columns",
+    "quantity_weighted_median_price",
+    "recursive_month_series",
+    "robust_price_stats_by_priority",
+    "scd2_priority_history",
+    "sessionize_events_gap",
+    "snapshot_diff_customers",
+    "sorted_layout_rowgroup_skip",
+    "sql_udf_doc_score",
+    "token_length_buckets",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discount_revenue",
+    "tpch_q21_last_shippers",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_late_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "training_mix_by_lang",
+    "triangle_census_cooccurrence",
+    "user_rfm_segmentation",
+    "zorder_layout_skip",
 ]
 # 50 priority entries fill the driver's 50-slot window exactly
 # (checked below).  Every other query rides on banked green rows
-# (CORRECTNESS_r01-r11) plus the local differential suite, which
+# (CORRECTNESS_r01-r12) plus the local differential suite, which
 # covers all queries regardless of position.  Bookkeeping at the
-# round-12 window freeze: registry 235 queries / 200 oracles at the
-# seat (round-12 additions register staged-oracle rows-only on top —
-# capacity is permanently full).  Vintages after CORRECTNESS_r11:
-# 50xr08, 50xr09, 50xr10, 50xr11 — exactly the 200-row steady state,
-# no banked row older than age 3.  After CORRECTNESS_r12 banks this
-# window, cohorts are 50xr09, 50xr10, 50xr11, 50xr12.
+# round-13 window freeze: registry 239 queries / 200 oracles at the
+# seat (round-13 additions register staged-oracle rows-only on top —
+# capacity is permanently full).  Vintages after CORRECTNESS_r12:
+# 50xr09, 50xr10, 50xr11, 50xr12 — exactly the 200-row steady state,
+# no banked row older than age 3.  After CORRECTNESS_r13 banks this
+# window, cohorts are 50xr10, 50xr11, 50xr12, 50xr13.
 #
-# ROUND-13 ROTATION (precomputed): seat the full 50xr09 cohort (it
-# reaches age 4 at the r13 bank; tools/preflight.py --check-vintage
+# ROUND-14 ROTATION (precomputed): seat the full 50xr10 cohort (it
+# reaches age 4 at the r14 bank; tools/preflight.py --check-vintage
 # gates on strictly-older-than-4).  The permanent cadence is
-# rN -> the cohort banked in round N-4 (r13->r09, r14->r10,
-# r15->r11, r16->r12, ...), window exactly full each round.
+# rN -> the cohort banked in round N-4 (r14->r10, r15->r11,
+# r16->r12, r17->r13, ...), window exactly full each round.
 # Displace a cohort row only for a changed-plan re-verify, which must
 # then seat no later than its age-5 round.  Past the 200-oracle
 # capacity, new queries register rows-only with ``staged_oracle=``
