@@ -52,11 +52,14 @@ from ex9_big_data_gal_drimer_spark.plans import QUERIES
 from ex9_big_data_gal_drimer_spark.session import get_spark
 
 
-def _matches_committed(here: str, full_path: str) -> bool:
-    """True when `full_path` is byte-identical to its git-committed
-    (HEAD) copy — such a file needs no .prev snapshot because git
-    already preserves it.  Any failure (no git, untracked file, not a
-    repo) returns False: the safe default is to snapshot."""
+def _matches_committed(
+    here: str, full_path: str, content_path: str | None = None
+) -> bool:
+    """True when the file at ``content_path`` (default ``full_path``
+    itself) is byte-identical to ``full_path``'s git-committed (HEAD)
+    copy — such content needs no .prev snapshot because git already
+    preserves it.  Any failure (no git, untracked file, not a repo)
+    returns False: the safe default is to snapshot."""
     import subprocess
 
     rel = os.path.relpath(os.path.abspath(full_path), here)
@@ -68,10 +71,44 @@ def _matches_committed(here: str, full_path: str) -> bool:
         )
         if proc.returncode != 0:
             return False
-        with open(full_path, "rb") as fh:
+        with open(content_path or full_path, "rb") as fh:
             return fh.read() == proc.stdout
     except Exception:
         return False
+
+
+def _snapshot_before_overwrite(here: str, full_path: str) -> None:
+    """Preserve the FIRST pass before an in-place rerun overwrites it,
+    so no rerun ever silently destroys the clean sequential numbers
+    (round-9 "What's wrong" #1: the driver's gate run overwrote the
+    committed run).  Exactly ONE snapshot per leg (round-10 verdict
+    ask #6 — the unbounded .prev1..N chain was artifact-dir litter):
+    the preserved file is always the oldest UNCOMMITTED pass, which
+    is the clean one under the sequential-first discipline; later
+    reruns are the contaminated gate passes and are fine to lose.
+    Round-11 ADVICE hardening for round-agnostic names (SCALING_sf*):
+    a file byte-identical to its git-committed copy is NOT worth the
+    snapshot slot (git already preserves it — recover with
+    `git checkout -- <file>`), so the slot stays free for this
+    round's clean pass instead of being burned on last round's
+    artifact.  Round-12 ADVICE: a STALE .prev from a prior aborted
+    round (content matches the base file's HEAD copy) is pruned HERE,
+    not only at tools/close_round.sh's chain start, so the policy
+    holds even when bench.py is run directly.  Legacy numbered
+    snapshots from the old policy are pruned on sight."""
+    prev_path = f"{full_path}.prev"
+    if os.path.exists(prev_path) and _matches_committed(
+        here, full_path, prev_path
+    ):
+        os.remove(prev_path)
+    if (
+        os.path.exists(full_path)
+        and not os.path.exists(prev_path)
+        and not _matches_committed(here, full_path)
+    ):
+        os.replace(full_path, prev_path)
+    for legacy in glob.glob(f"{full_path}.prev[0-9]*"):
+        os.remove(legacy)
 
 
 def _previous_bench(
@@ -262,31 +299,7 @@ def main() -> int:
             },
         }
 
-    # Snapshot the FIRST pass before an in-place rerun overwrites it,
-    # so no rerun ever silently destroys the clean sequential numbers
-    # (round-9 "What's wrong" #1: the driver's gate run overwrote the
-    # committed run).  Exactly ONE snapshot per leg (round-10 verdict
-    # ask #6 — the unbounded .prev1..N chain was artifact-dir litter):
-    # the preserved file is always the oldest UNCOMMITTED pass, which
-    # is the clean one under the sequential-first discipline; later
-    # reruns are the contaminated gate passes and are fine to lose.
-    # Round-11 ADVICE hardening for round-agnostic names (SCALING_sf*):
-    # a file byte-identical to its git-committed copy is NOT worth the
-    # snapshot slot (git already preserves it — recover with
-    # `git checkout -- <file>`), so the slot stays free for this
-    # round's clean pass instead of being burned on last round's
-    # artifact; tools/close_round.sh additionally prunes stale *.prev
-    # at chain start so a leftover snapshot from a prior round can
-    # never block this round's.  Legacy numbered snapshots from the
-    # old policy are pruned on sight.
-    if (
-        os.path.exists(full_path)
-        and not os.path.exists(f"{full_path}.prev")
-        and not _matches_committed(here, full_path)
-    ):
-        os.replace(full_path, f"{full_path}.prev")
-    for legacy in glob.glob(f"{full_path}.prev[0-9]*"):
-        os.remove(legacy)
+    _snapshot_before_overwrite(here, full_path)
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
         fh.write("\n")

@@ -70,7 +70,9 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-def train_bpe_merges(seqs: DataFrame, rounds: int) -> list[Row]:
+def train_bpe_merges(
+    seqs: DataFrame, rounds: int, *, require_all: bool = False
+) -> list[Row]:
     """Run ``rounds`` BPE merge rounds over a (w, cnt, seq) DataFrame
     (``seq`` as produced by :func:`chars_to_seq`); returns one Row per
     round: (round, lhs, rhs, pair_count, merged).
@@ -78,6 +80,14 @@ def train_bpe_merges(seqs: DataFrame, rounds: int) -> list[Row]:
     ``seqs`` should be persisted by the caller: each round's pair
     count re-evaluates the (vocabulary-sized) relation with the merge
     rewrites chained on top.
+
+    ``require_all=True`` raises if the vocabulary merges out before
+    ``rounds`` completes.  Callers whose differential oracle unrolls
+    exactly ``rounds`` CTE rounds (the staged BPE queries) need the
+    degenerate-corpus case to fail LOUDLY: the unrolled oracle's
+    cross-join against an empty argmax collapses to an empty relation
+    while the engine would keep producing rows (round-12 ADVICE,
+    queries_platform6.py:210).
     """
     merges: list[Row] = []
     for rnd in range(1, rounds + 1):
@@ -88,6 +98,12 @@ def train_bpe_merges(seqs: DataFrame, rounds: int) -> list[Row]:
             .collect()
         )
         if not best:  # vocabulary fully merged — nothing left to count
+            if require_all:
+                raise ValueError(
+                    f"BPE vocabulary merged out after {rnd - 1} of "
+                    f"{rounds} rounds; the unrolled differential oracle "
+                    "assumes every round produces a merge"
+                )
             break
         b = best[0]
         merges.append(

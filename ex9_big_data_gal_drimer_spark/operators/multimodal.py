@@ -1954,6 +1954,16 @@ _FLAC_FIXED = {
     0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1),
 }
 
+#: Hard magnitude bound on reconstructed samples.  Legal FLAC samples
+#: fit in 33 bits (32-bit depth + side-channel carry); 2**40 is far
+#: above that yet small enough that predictor sums (<=32 coefficients
+#: x 15-bit precision) and the wasted-bits shift stay well inside
+#: int64, so a CRC-valid but hostile stream with amplifying LPC/fixed
+#: coefficients fails fast as _FlacError instead of (a) escaping as
+#: OverflowError at the np.array() boundary or (b) driving unbounded
+#: big-int arithmetic (round-12 ADVICE, multimodal.py:2064).
+_FLAC_SAMPLE_BOUND = 1 << 40
+
 
 def _flac_subframe(br: _FlacBits, blocksize: int, depth: int) -> list[int]:
     if br.read(1):
@@ -1992,11 +2002,16 @@ def _flac_subframe(br: _FlacBits, blocksize: int, depth: int) -> list[int]:
             pred = 0
             for j, c in enumerate(coefs):
                 pred += c * s[-1 - j]
-            s.append((pred >> shift) + r)
+            v = (pred >> shift) + r
+            if v > _FLAC_SAMPLE_BOUND or v < -_FLAC_SAMPLE_BOUND:
+                raise _FlacError("predictor walked out of sample range")
+            s.append(v)
     else:
         raise _FlacError("reserved subframe type")
     if wasted:
         s = [v << wasted for v in s]
+        if s and (max(s) > _FLAC_SAMPLE_BOUND or min(s) < -_FLAC_SAMPLE_BOUND):
+            raise _FlacError("wasted-bits shift out of sample range")
     return s
 
 
@@ -2082,7 +2097,12 @@ def decode_flac_samples(b: bytes):
             if hashlib.md5(raw).digest() != md5:
                 return None
         return arr.astype(np.float64).mean(axis=0) / float(lim), rate
-    except _FlacError:
+    except (_FlacError, OverflowError):
+        # OverflowError belt-and-braces: per-sample bounds in
+        # _flac_subframe keep reconstruction inside int64, but the
+        # never-raise stub-tier contract must hold even for a path the
+        # bound misses (e.g. channel-assignment carries) — a hostile
+        # stream returns None, it never crashes the executor task.
         return None
 
 

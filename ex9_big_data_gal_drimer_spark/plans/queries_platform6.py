@@ -271,7 +271,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", "cnt", chars_to_seq(F.col("w")).alias("seq")
     ).persist()
     try:
-        merges = train_bpe_merges(seqs, rounds=3)
+        merges = train_bpe_merges(seqs, rounds=3, require_all=True)
     finally:
         seqs.unpersist()
     return spark.createDataFrame(
@@ -367,7 +367,7 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", "cnt", chars_to_seq(F.col("w")).alias("seq")
     ).persist()
     try:
-        merges = train_bpe_merges(seqs, rounds=3)
+        merges = train_bpe_merges(seqs, rounds=3, require_all=True)
     finally:
         seqs.unpersist()
     tok = occ.select("w").distinct().select(

@@ -71,13 +71,9 @@ def test_snapshot_sequence_preserves_clean_pass(benchmod, tmp_path):
     here = str(repo)
 
     def write_pass(content):
-        # Mirror bench.py's snapshot block exactly.
-        if (
-            os.path.exists(art)
-            and not os.path.exists(prev)
-            and not benchmod._matches_committed(here, str(art))
-        ):
-            os.replace(art, prev)
+        # The REAL snapshot block (extracted in round 13 so tests
+        # exercise bench.py's code instead of a drift-prone mirror).
+        benchmod._snapshot_before_overwrite(here, str(art))
         art.write_text(content)
 
     write_pass("clean-r12\n")          # pass 1: overwrites committed copy
@@ -87,6 +83,37 @@ def test_snapshot_sequence_preserves_clean_pass(benchmod, tmp_path):
     write_pass("gate-rerun-2\n")
     assert prev.read_text() == "clean-r12\n"   # still the clean pass
     assert art.read_text() == "gate-rerun-2\n"
+
+
+def test_stale_prev_pruned_on_direct_bench_run(benchmod, tmp_path):
+    """Round-12 ADVICE low #3: a stale .prev left by a prior aborted
+    round (content == the base file's HEAD copy) must not block the
+    one-snapshot guard when bench.py is run DIRECTLY (close_round.sh's
+    chain-start prune never ran): pass 1 prunes the stale snapshot,
+    pass 2 then preserves pass 1's clean numbers."""
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    _git(repo, "init", "-q")
+    art = repo / "SCALING_sf1.json"
+    prev = repo / "SCALING_sf1.json.prev"
+    art.write_text("committed-r12\n")
+    _git(repo, "add", "SCALING_sf1.json")
+    _git(repo, "commit", "-qm", "r12 artifact")
+    here = str(repo)
+
+    # prior aborted round's leftover: snapshot of the committed copy
+    prev.write_text("committed-r12\n")
+
+    benchmod._snapshot_before_overwrite(here, str(art))
+    art.write_text("clean-r13\n")      # pass 1 (direct bench.py run)
+    assert not prev.exists()           # stale snapshot pruned, slot free
+    benchmod._snapshot_before_overwrite(here, str(art))
+    art.write_text("gate-rerun\n")     # pass 2
+    assert prev.read_text() == "clean-r13\n"  # clean pass preserved
+
+    # an IN-ROUND snapshot (differs from HEAD) is never pruned
+    benchmod._snapshot_before_overwrite(here, str(art))
+    assert prev.read_text() == "clean-r13\n"
 
 
 def test_close_round_prune_keeps_inround_snapshot(tmp_path):

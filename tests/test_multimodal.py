@@ -2838,6 +2838,21 @@ def test_flac_integrity_gates_reject():
 
     # truncation mid-frame
     assert _flac_dec(good[: len(good) - 5]) is None
+
+
+def test_flac_hostile_amplifying_predictor_returns_none():
+    """A CRC-valid stream (md5 gate skipped via zeroed STREAMINFO md5)
+    whose LPC predictor doubles every sample walks reconstruction past
+    2**63 (round-12 ADVICE): the sample bound must fail it as
+    _FlacError -> None, never let OverflowError escape the stub-tier
+    never-raise contract at the np.array() boundary."""
+    # coef [2], shift 0: sample i = 2 * sample i-1, residuals all zero
+    x = [1 << i for i in range(71)]  # reaches 2**70 >> int64
+    hostile = _flac_ref_encode(
+        x, bps=32, subframe="lpc", lpc=([2], 15, 0),
+        md5_override=bytes(16),
+    )
+    assert _flac_dec(hostile) is None
     assert _flac_dec(b"fLaC") is None
     assert _flac_dec(b"not flac at all" * 4) is None
 

@@ -174,6 +174,18 @@ def test_bpe_stops_when_fully_merged(spark):
     assert merges[0].merged == "hi"
 
 
+def test_bpe_require_all_raises_on_degenerate_corpus(spark):
+    """require_all=True (the staged-oracle call sites) must FAIL LOUDLY
+    when the vocabulary merges out early — the unrolled DuckDB CTE
+    rounds assume every round produces a merge, so a silent short
+    table would diverge from the oracle instead of flagging the edge
+    (round-12 ADVICE)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="merged out after 1 of 5"):
+        train_bpe_merges(_seqs(spark, {"hi": 3}), rounds=5, require_all=True)
+
+
 def test_bpe_apply_reproduces_training_sequences(spark):
     """Segmenting the training corpus with the trained merge table
     reproduces the training-end token counts: 'newest' -> n e w est
