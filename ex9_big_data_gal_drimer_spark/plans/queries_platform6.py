@@ -211,15 +211,19 @@ def _bpe_round_cte(n: int) -> str:
     )"""
 
 
-#: The 3-round training CTE chain, shared VERBATIM by the train query
-#: (reads b1..b3) and the apply query (reads b1..b3 to segment the
-#: full vocabulary) — one definition, so the two oracles cannot drift.
-_BPE_TRAIN_CTES = (
-    """
+def bpe_train_ctes(src: str = "documents", text_col: str = "text") -> str:
+    """The 3-round training CTE chain (words → seq0 → p/b/seq 1..3)
+    over any source relation — shared VERBATIM by the train query
+    (reads b1..b3), the apply query (reads b1..b3 to segment the full
+    vocabulary), and the round-13 pipeline composite (trains over the
+    DEDUPED corpus) — one definition, so the oracles cannot drift."""
+    return (
+        f"""
     words AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-            FROM documents
+            SELECT unnest(string_split_regex(lower({text_col}), '[^a-z]+'))
+                       AS w
+            FROM {src}
         ) WHERE length(w) >= 1
         GROUP BY w ORDER BY cnt DESC, w LIMIT 500
     ),
@@ -231,8 +235,11 @@ _BPE_TRAIN_CTES = (
                || ' ' AS seq
         FROM words
     ),"""
-    + ",".join(_bpe_round_cte(n) for n in (1, 2, 3))
-)
+        + ",".join(_bpe_round_cte(n) for n in (1, 2, 3))
+    )
+
+
+_BPE_TRAIN_CTES = bpe_train_ctes()
 
 
 @register(

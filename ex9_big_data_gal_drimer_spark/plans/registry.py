@@ -61,6 +61,7 @@ ITERATIVE_CONSTRUCTION: set[str] = {
     "levenshtein_similar_parts",  # tier-0 sufficiency count (round 9)
     "bpe_train_merges",  # one argmax-row collect per merge round (round 12)
     "bpe_apply_segment",  # trains the same merge table before applying it
+    "llm_pipeline_e2e",  # trains BPE over the deduped corpus (round 13)
 }
 
 

@@ -183,3 +183,47 @@ def test_cdc_query_runs_on_testdata(spark):
     for r in rows[:50]:
         assert r.new_len + r.bytes_removed == r.orig_len
         assert 0 <= r.n_chunks_removed <= r.n_chunks
+
+
+def test_llm_pipeline_funnel_invariants(spark):
+    """Stage-by-stage sanity of the composed pipeline (the staged
+    differential proves engine/oracle equality; this pins the FUNNEL
+    SEMANTICS): monotone doc counts through the filters, chars never
+    grow through span removal, token totals conserved from
+    segmentation through packing and splitting."""
+    st = {
+        r.stage: (r.n_rows, r.measure)
+        for r in QUERIES["llm_pipeline_e2e"](spark, SF_DIR).collect()
+    }
+    assert st["0_raw"][0] == st["1_extract"][0]
+    assert st["2_quality"][0] <= st["1_extract"][0]
+    assert st["3_span_dedup"][0] == st["2_quality"][0]  # rewrites, not drops
+    assert st["3_span_dedup"][1] <= st["2_quality"][1]  # chars only shrink
+    assert st["4_doc_dedup"][0] <= st["3_span_dedup"][0]
+    assert st["5_bpe_segment"][0] <= st["4_doc_dedup"][0]
+    # packing and splitting conserve the token total
+    assert st["6_pack"][1] == st["5_bpe_segment"][1]
+    assert st["6_pack"][0] <= st["5_bpe_segment"][0]
+    split_rows = [v for k, v in st.items() if k.startswith("7_split_")]
+    assert sum(v[0] for v in split_rows) == st["5_bpe_segment"][0]
+    assert sum(v[1] for v in split_rows) == st["5_bpe_segment"][1]
+
+
+def test_llm_pipeline_doc_dedup_stage_fires_on_planted_dups(spark):
+    """sf0.001 has no exact post-span-rewrite duplicates, so stage 4
+    passes through; prove the dedup stage actually DROPS rows by
+    running the same kept-min-id window logic on a corpus with a
+    planted exact duplicate pair."""
+    from pyspark.sql.window import Window
+
+    spans = spark.createDataFrame(
+        [(1, "en", "same text"), (2, "en", "same text"), (3, "en", "other")],
+        schema="doc_id int, lang string, new_text string",
+    )
+    wn = Window.partitionBy(F.md5("new_text")).orderBy("doc_id")
+    kept = (
+        spans.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
