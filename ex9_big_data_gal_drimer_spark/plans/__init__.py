@@ -48,6 +48,7 @@ from . import queries_analytics6  # noqa: F401,E402
 from . import queries_platform5  # noqa: F401,E402
 from . import queries_platform6  # noqa: F401,E402
 from . import queries_platform7  # noqa: F401,E402
+from . import queries_crawl  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver evaluation window: the correctness harness checks only the FIRST 50
