@@ -283,8 +283,20 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two equi-key exchanges of dedup_remove_spans; doc dedup is
     one fingerprint window; BPE costs the vocabulary (3 argmax-row
     collects, ITERATIVE_CONSTRUCTION); pack is one per-lang window;
-    split is a stateless hash.  The post-dedup relation is persisted
-    once and fans out to the stage rollups."""
+    split is a stateless hash.
+
+    Round-13 optimization (guide §1.2/§2.4 — remove redundant passes
+    before tuning anything else): the composite's single persist now
+    sits ABOVE the widest fan-out point — the span rewrite WITH its
+    dedup rank — instead of below it (the old ``kept.persist()``).
+    The stage-3 rollup aggregates ALL spans rows while stages 4–7
+    consume only the rn=1 subset, so persisting above the filter lets
+    both read one cached relation; the old shape re-executed the whole
+    extract → tile-window → rebuild chain a second time per run just
+    to count stage 3.  (``localCheckpoint`` was tried first and
+    measured 4× WORSE — it stores raw uncompressed rows and pays block
+    churn — so the columnar in-memory persist stays; see
+    OPTIMIZATION_r13.md.)"""
     from pyspark.sql.window import Window
 
     from ..operators.bpe import apply_bpe_merges, chars_to_seq
@@ -337,16 +349,21 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.*")
 
     quality = ex.filter(gate).select("doc_id", "lang", "ext")
+    # The persisted relation is the span rewrite WITH its dedup rank
+    # (not the post-filter `kept` of the original form): the stage-3
+    # rollup aggregates ALL spans rows and stage 4+ consume only the
+    # rn=1 subset, so persisting above the filter lets BOTH read one
+    # cached relation — the original shape re-executed the whole
+    # extract → tile-window → rebuild chain a second time per run just
+    # to count stage 3.
     spans = remove_duplicate_spans(
         quality, window=32, text_col="ext", keep_cols=("lang",)
     ).select("doc_id", "lang", "new_text")
     wn = Window.partitionBy(F.md5("new_text")).orderBy("doc_id")
-    kept = (
-        spans.withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .persist()
-    )
+    spans_w = spans.withColumn(
+        "rn", F.row_number().over(wn)
+    ).persist()
+    kept = spans_w.filter(F.col("rn") == 1).drop("rn")
 
     occ = (
         kept.select(
@@ -422,7 +439,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        head.unionAll(one(spans, "3_span_dedup", F.length("new_text")))
+        head.unionAll(one(spans_w, "3_span_dedup", F.length("new_text")))
         .unionAll(one(kept, "4_doc_dedup", F.length("new_text")))
         .unionAll(one(doc_tokens, "5_bpe_segment", F.col("toks")))
         .unionAll(one(packed, "6_pack", F.col("btoks")))
