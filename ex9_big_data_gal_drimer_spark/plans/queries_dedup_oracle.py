@@ -55,26 +55,50 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signature(sh: DataFrame) -> DataFrame:
-    """(doc_id, hi, mh): the K-slot md5 MinHash signature."""
-    slots = sh.select(
-        "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(_K - 1))).alias("hi")
-    )
-    h = _md5int(F.concat(F.col("hi").cast("string"), F.lit(":"), F.col("s")))
-    return slots.select("doc_id", "hi", h.alias("h")).groupBy("doc_id", "hi").agg(
-        F.min("h").alias("mh")
+    """(doc_id, mh0..mh7): the K-slot md5 MinHash signature, WIDE.
+
+    Round-13 shape (guide §2.3 "aggregate before you shuffle" /
+    §2.4 "remove shuffles outright"): the original form exploded every
+    (doc, shingle) row into K=8 slot rows and aggregated by
+    (doc_id, hi) — 8× the rows into the exchange and a second
+    aggregation downstream to fold bands.  The K slot hashes are
+    independent column expressions over the same shingle, so one
+    groupBy(doc_id) with K min() aggregates produces the identical
+    signature VALUES from 1/8th the aggregation input rows and one
+    exchange.  Slot i's hash string is byte-identical to the exploded
+    form's (CAST(hi AS STRING) = str(i) for 0..7)."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _md5int(F.concat(F.lit(f"{i}:"), F.col("s")))
+            ).alias(f"mh{i}")
+            for i in range(_K)
+        ]
     )
 
 
 def _band_buckets(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key): r=2 minhash slots folded per band."""
-    return sig.groupBy(
-        "doc_id", (F.col("hi") / 2).cast("int").alias("band_id")
-    ).agg(
-        F.concat(
-            F.min(F.when(F.col("hi") % 2 == 0, F.col("mh"))).cast("string"),
-            F.lit("_"),
-            F.min(F.when(F.col("hi") % 2 == 1, F.col("mh"))).cast("string"),
-        ).alias("band_key")
+    """(doc_id, band_id, band_key): r=2 minhash slots folded per band.
+
+    Map-side only over the wide signature — the fold that used to be a
+    groupBy(doc_id, band_id) aggregation (an exchange of K rows/doc) is
+    now a 4-element explode of column expressions (zero exchanges);
+    band_key text is unchanged: concat(mh_{2i}, '_', mh_{2i+1})."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.concat(
+                    F.col(f"mh{2 * i}").cast("string"),
+                    F.lit("_"),
+                    F.col(f"mh{2 * i + 1}").cast("string"),
+                ).alias("band_key"),
+            )
+            for i in range(_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.band_key"
     )
 
 
@@ -233,17 +257,30 @@ def minhash_estimate_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     sig = _signature(sh)
     cand = _candidates(_band_buckets(sig))
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "hi", F.col("mh").alias("mha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "hi", F.col("mh").alias("mhb"))
+    # Slot agreement over the WIDE signature: one broadcast join per
+    # side and a scalar expression — the exploded form's sig⋈sig
+    # SortMergeJoin on (doc_b, hi) plus the 8×-row re-aggregation are
+    # gone (guide §2.4); the sum of per-slot equality indicators over 8
+    # columns is the same integer the old F.sum computed.
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_K)],
+    )
+    n_match = sum(
+        (
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(_K)
+        ),
+        start=F.lit(0),
+    )
     agree = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "hi"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0)) / _K
-            ).alias("est_jaccard")
-        )
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (n_match / _K).alias("est_jaccard"))
     )
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -343,28 +380,48 @@ def simhash_hamming_oracle_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_md5int(F.col("w")) % F.lit(4294967296).cast("long")).alias("hm"),
         )
     )
-    bits = wc.select(
-        "doc_id", "cnt", "hm",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    # Round-13 shape (guide §2.3/§2.4): the original exploded every
+    # (doc, word) row into 32 bit rows — 32× the aggregation input —
+    # and then re-aggregated the 32 sign bits per doc (two exchanges).
+    # The 32 bit votes are independent column expressions over the same
+    # word hash, so ONE groupBy(doc_id) with 32 sums produces the
+    # identical signature from the raw rows with one exchange.
+    # shiftright(hm, b) % 2 ≡ floor(hm / 2^b) % 2 for the non-negative
+    # 32-bit hm, so each vote is the exact integer the old form summed.
+    def vote(b: int) -> Column:
+        return 2 * (F.shiftright(F.col("hm"), b) % 2) - 1
+
+    votes = wc.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("cnt") * vote(b)).alias(f"v{b}")
+            for b in range(32)
+        ]
     )
-    vote = (
-        2 * (F.floor(F.col("hm") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2)
-        - 1
-    )
-    sigbit = bits.groupBy("doc_id", "b").agg(
-        F.when(F.sum(F.col("cnt") * vote) >= 0, 1).otherwise(0).alias("bit")
-    )
-    sig = sigbit.groupBy("doc_id").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("long"))
-        .cast("long")
-        .alias("sh")
-    )
+    sh_expr = sum(
+        (
+            F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(32)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    sig = votes.select("doc_id", sh_expr.alias("sh"))
+    # Nibble keys map-side from the wide signature (the explode is over
+    # 4 column-expression structs, not an aggregation input).
     keyed = sig.select(
-        "doc_id", "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("n"),
-    ).withColumn(
-        "nv", F.floor(F.col("sh") / F.pow(F.lit(256.0), F.col("n"))).cast("long") % 256
-    )
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        (F.shiftright(F.col("sh"), 8 * n) % 256).alias("nv"),
+                    )
+                    for n in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("doc_id", "sh", "k.n", "k.nv")
     a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"), "n", "nv")
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"), "n", "nv")
     cand = (
