@@ -111,6 +111,34 @@ def _label_signature(e: DataFrame):
     return (row["nodes"], row["h"])
 
 
+def _entry_probe(e: DataFrame):
+    """(n_edges, label signature) in ONE action — the loop entry used
+    to pay three jobs before the first contraction round (eager
+    checkpoint materialization, edges count for the parallelism
+    derivation, initial label signature).  The edge count is the
+    degree sum over the label aggregation's own symmetric input
+    (each undirected edge contributes one row per direction, so
+    Σ deg / 2 = |e|), which lets one collect materialize the (lazy)
+    checkpoint, size the loop AND seed convergence detection."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    row = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(
+            F.least(F.min("v"), F.first("u")).alias("component"),
+            F.count(F.lit(1)).alias("deg"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nodes"),
+            F.sum(
+                F.xxhash64("node", "component").cast("decimal(38,0)")
+            ).alias("h"),
+            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        )
+        .collect()[0]
+    )
+    return (row["n_edges"] or 0, (row["nodes"], row["h"]))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_id_a",
@@ -131,11 +159,16 @@ def connected_components(
     spark = edges.sparkSession
     # Detach from the (possibly huge) upstream pair pipeline: every
     # round re-reads the checkpointed edges, never the pipeline.  The
-    # count doubles as the loop's parallelism input.
+    # checkpoint is LAZY and materializes inside the entry probe's
+    # action, which also derives the loop parallelism and seeds
+    # convergence detection — one job where the loop entry used to
+    # spend three (eager-checkpoint job + count job + signature job;
+    # round-13 optimization, guide §1.2: per-job overhead dominates
+    # once the graph is small).
     e = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
-    n_edges = e.count()
+    ).localCheckpoint(eager=False)
+    n_edges, prev_sig = _entry_probe(e)
 
     conf = spark.conf
     saved = {
@@ -150,7 +183,6 @@ def connected_components(
             # Overhead regime: AQE's per-stage re-planning adds job
             # boundaries but has nothing to coalesce below 4 partitions.
             conf.set("spark.sql.adaptive.enabled", "false")
-        prev_sig = _label_signature(e)
         converged = False
         for _ in range(max_iter):
             # Lazy checkpoint: truncates lineage (each round references
