@@ -32,10 +32,27 @@ from pyspark.sql import functions as F
 
 def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """Collect a (centroid_id, cvec) table to driver model state —
-    k rows by contract, the same size the Lloyd loop already holds."""
-    return sorted(
+    k rows by contract, the same size the Lloyd loop already holds.
+
+    The rows ride on the DataFrame object once known (kmeans_fit
+    attaches the state it already holds; a first collect attaches
+    them here): `createDataFrame` parallelizes even an 8-row local
+    list into defaultParallelism partitions, so collecting the model
+    table was a 32-task Python-worker job (~0.45 s) on EVERY plan
+    construction — pure overhead for state the driver owns anyway
+    (round-13, guide §1.2/§5: the driver should do no data work, and
+    the model is driver-sized by contract)."""
+    got = getattr(centroids, "_ex9_centroid_rows", None)
+    if got is not None:
+        return got
+    rows = sorted(
         (r["centroid_id"], list(r["cvec"])) for r in centroids.collect()
     )
+    try:
+        centroids._ex9_centroid_rows = rows
+    except Exception:
+        pass
+    return rows
 
 
 def _normed_matrix(rows: list[tuple[int, list[float]]]):
@@ -196,7 +213,21 @@ def kmeans_fit(
             if n > 0:
                 state[cid] = [x / n for x in vec[:dim]]
     emb.unpersist()
-    return as_df()
+    out = as_df()
+    # The trainer holds the model driver-side already; pin it on the
+    # DataFrame so _centroid_rows never pays a collect job for it.
+    out._ex9_centroid_rows = sorted(
+        (int(cid), [float(x) for x in vec]) for cid, vec in state.items()
+    )
+    return out
+
+
+#: Per-(session, store) memo of LOADED centroid tables: the model
+#: registry's in-session face — a serving query re-reading the k-row
+#: model parquet (plus its collect) on every plan construction is
+#: per-run overhead for immutable state (round-13; same contract as
+#: queries_semdedup._TRAINED_CENTROIDS, dropped with the session).
+_LOADED_MODELS: dict[tuple[str, str], DataFrame] = {}
 
 
 def kmeans_fit_or_load(
@@ -215,15 +246,22 @@ def kmeans_fit_or_load(
     mismatch or unreadable store falls back to a fresh fit+write.
     """
     spark = emb.sparkSession
+    memo_key = (spark.sparkContext.applicationId, store_path)
+    got = _LOADED_MODELS.get(memo_key)
+    if got is not None:
+        return got
     try:
         stored = spark.read.parquet(store_path)
         if set(stored.columns) == {"centroid_id", "cvec"}:
+            _LOADED_MODELS[memo_key] = stored
             return stored
     except Exception:
         pass
     centroids = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     centroids.write.mode("overwrite").parquet(store_path)
-    return spark.read.parquet(store_path)
+    out = spark.read.parquet(store_path)
+    _LOADED_MODELS[memo_key] = out
+    return out
 
 
 def assign_clusters(
