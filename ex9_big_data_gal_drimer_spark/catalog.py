@@ -43,6 +43,27 @@ DIM_TABLES = {"region", "nation", "supplier", "part"}
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-local relation (rule tables, model rows, trained
+    results) as ONE partition.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes even a 3-row
+    list into defaultParallelism partitions, so every materialization
+    pays a 32-task job with a Python-worker round trip per task —
+    measured ~1.6 s per collect for 3 rows on local[32] vs ~0.1 s via
+    this path (round-13, guide §1.2).  Routing through pandas+Arrow
+    produces one batch; ``coalesce(1)`` pins one partition.  For
+    non-null, driver-sized relations only — pandas would coerce None
+    in numeric columns to NaN.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    names = StructType.fromDDL(schema).names
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+    return spark.createDataFrame(pdf, schema=schema).coalesce(1)
+
+
 def normalize_nano_timestamps(
     df: DataFrame, cols: tuple[str, ...], ntz: bool = True
 ) -> DataFrame:

@@ -157,8 +157,10 @@ def kmeans_fit(
     state = {i: list(r[vec_col]) for i, r in enumerate(init)}
 
     def as_df():
-        return spark.createDataFrame(
-            sorted(state.items()), "centroid_id INT, cvec ARRAY<DOUBLE>"
+        from ..catalog import local_df
+
+        return local_df(
+            spark, sorted(state.items()), "centroid_id INT, cvec ARRAY<DOUBLE>"
         )
 
     # Each Lloyd round is ONE Arrow-vectorized pass (mapInPandas):

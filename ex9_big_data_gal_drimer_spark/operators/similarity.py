@@ -59,7 +59,9 @@ def _planes_df(spark, dim: int, num_tables: int, hash_bits: int, seed: int) -> D
         for t in range(num_tables)
         for b in range(hash_bits)
     ]
-    return spark.createDataFrame(rows, "table_id INT, bit INT, plane ARRAY<DOUBLE>")
+    from ..catalog import local_df
+
+    return local_df(spark, rows, "table_id INT, bit INT, plane ARRAY<DOUBLE>")
 
 
 def _bucket_ids(df: DataFrame, planes: DataFrame, id_col: str, vec_col: str) -> DataFrame:

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_df, table
 from ..operators.urls import (
     canonicalize_url_sql,
     host_of,
@@ -254,9 +254,7 @@ def robots_rules_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_CRAWL_PATH_SQL).alias("path")
     )
     rules = F.broadcast(
-        spark.createDataFrame(
-            list(ROBOTS_RULES), schema="prefix string, allow boolean"
-        )
+        local_df(spark, list(ROBOTS_RULES), "prefix string, allow boolean")
     )
     paths = docs.select("path").distinct()
     matched = paths.join(
@@ -515,9 +513,7 @@ def crawl_front_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     rules = F.broadcast(
-        spark.createDataFrame(
-            list(ROBOTS_RULES), schema="prefix string, allow boolean"
-        )
+        local_df(spark, list(ROBOTS_RULES), "prefix string, allow boolean")
     )
     winners = (
         kept.select("path")

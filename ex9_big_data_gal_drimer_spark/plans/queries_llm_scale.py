@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_df, table
 from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
 from ..operators.similarity import lsh_cosine_topk
 from .registry import register
@@ -207,7 +207,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     # left join from the method list so a 0-hit method still reports
-    names = spark.createDataFrame([(m,) for m in methods], "method string")
+    names = local_df(spark, [(m,) for m in methods], "method string")
     return (
         F.broadcast(names)
         .join(hits, "method", "left")

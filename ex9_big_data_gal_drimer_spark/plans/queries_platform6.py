@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_df, table
 from ..operators.bpe import chars_to_seq, train_bpe_merges
 from ..operators.html import extract_text, extract_text_sql
 from .registry import register
@@ -281,10 +281,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges = train_bpe_merges(seqs, rounds=3, require_all=True)
     finally:
         seqs.unpersist()
-    return spark.createDataFrame(
+    # local_df, not createDataFrame(list): the latter parallelizes the
+    # 3-row result into 32 partitions and its collect was ~0.8 s of
+    # this query's ~1.2 s (round-13, guide §1.2).
+    return local_df(
+        spark,
         merges,
-        schema="round int, lhs string, rhs string, "
-        "pair_count bigint, merged string",
+        "round int, lhs string, rhs string, pair_count bigint, merged string",
     ).orderBy("round")
 
 

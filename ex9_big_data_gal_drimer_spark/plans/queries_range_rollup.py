@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_df, table
 from ..operators.rangejoin import range_join_bucketed
 from .registry import register
 
@@ -44,7 +44,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives when BOTH sides are large (IP-geolocation ranges, genomic
     intervals): equi-join on bucket, exact refine after."""
     orders = table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    bands = local_df(spark, PRICE_BANDS, "band string, lo double, hi double")
     joined = range_join_bucketed(
         orders.select("o_orderkey", "o_totalprice"),
         bands,
