@@ -28,6 +28,24 @@ from ..catalog import table
 from ..operators.multimodal import extract_features
 from .registry import register
 
+#: Every query in this module audits a BOUNDED media grain (the first
+#: 50 docs — the serving/demo tier; the full-corpus path is the
+#: operators' contract).  One partition for the 50-row bound, placed
+#: BEFORE the Python stage (round-13, guide §4.1/§2.4): the cached
+#: corpus scan is 16 partitions, so every mapInPandas here paid 16
+#: Python-worker dispatches for ~3 rows each — and a SinglePartition
+#: child also lets the final orderBy skip RangePartitioning's
+#: plan-sampling pass, which was re-executing the whole synth+decode
+#: chain a second time per run (2 jobs -> 1).
+def _bounded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+        .repartition(1)
+    )
+
+
 _W = _H = 8
 _BODY = _W * _H * 3
 
@@ -48,11 +66,7 @@ def media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, decode pixels with the stdlib decoder (real_decoder=True —
     any fallback to the stub would raise), emit per-image feature
     vectors.  Rounded to 6 decimals so the output is hash-stable."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     media = docs.mapInPandas(_text_to_ppm, "media_id long, payload binary")
     feats = extract_features(media, num_features=8, real_decoder=True)
     # One row per (media_id, feature_idx): the driver's pandas-based
@@ -99,11 +113,7 @@ def media_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: synthesis and both decodes are Arrow-batched
     mapInPandas; the join is a broadcast-size equi-join on media_id at
     the audited grain, and the output is one bounded summary row."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     both = docs.mapInPandas(
         _text_to_ppm_and_png, "media_id long, ppm binary, png binary"
     )
@@ -160,11 +170,7 @@ def media_jpeg_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: synthesis and both decodes are Arrow-batched
     mapInPandas; the join is a broadcast-size equi-join on media_id at
     the audited grain, and the output is one bounded summary row."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     both = docs.mapInPandas(
         _text_to_jpegs, "media_id long, baseline binary, progressive binary"
     )
@@ -219,11 +225,7 @@ def media_png_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.udtf_media import PngChunkWalk
 
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     media = docs.mapInPandas(_text_to_png, "media_id long, payload binary")
     view = f"png_media_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     media.createOrReplaceTempView(view)
@@ -255,11 +257,7 @@ def media_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py."""
     from ..operators.multimodal import payload_stats_arrow
 
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     media = docs.mapInPandas(_text_to_ppm, "media_id long, payload binary")
     return payload_stats_arrow(media).orderBy("media_id")
 
@@ -295,11 +293,7 @@ def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python worker, and the output is one atomic row per clip."""
     from ..operators.multimodal import extract_audio_features
 
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     media = docs.mapInPandas(_text_to_wav, "media_id long, payload binary")
     feats = extract_audio_features(media, real_decoder=True)
     return feats.select(
@@ -391,11 +385,7 @@ def video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded to atomic rows for the driver canon."""
     from ..operators.multimodal import extract_video_features
 
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     media = docs.mapInPandas(_text_to_avi, "media_id long, payload binary")
     feats = extract_video_features(media, frame_stride=2, real_decoder=True)
     return (
@@ -547,11 +537,7 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: synthesis, companding and decode are Arrow-batched
     mapInPandas end-to-end; output is one bounded summary row."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     three = docs.mapInPandas(
         _text_to_wav_codecs,
         "media_id long, pcm binary, ulaw binary, alaw binary, "
@@ -629,11 +615,7 @@ def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the audited grain and the output is one bounded summary row."""
     from ..operators.multimodal import extract_video_features
 
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < 50)
-    )
+    docs = _bounded_docs(spark, sf_dir)
     # cached: both feature branches read this, and recomputing the
     # lineage would pay the pure-Python JPEG encodes twice (round-10
     # review).  Left persisted by the dedup.py / queries_parity.py
