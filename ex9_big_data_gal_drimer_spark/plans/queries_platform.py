@@ -143,7 +143,7 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl = files("date_sort", (F.col("d") / 32).cast("long")).unionByName(
         files("zorder", (F.col("z") / 64).cast("long"))
     )
-    probes = spark.range(1, 21).select((F.col("id") * 50).alias("probe_ck"))
+    probes = spark.range(1, 21, 1, 1).select((F.col("id") * 50).alias("probe_ck"))
     hits = (
         fl.join(F.broadcast(probes))
         .groupBy("layout", "probe_ck")

@@ -188,8 +188,11 @@ def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds at any SF (round-6 ADVICE).  The 1-row max aggregate is a
     # broadcast attach onto a 2000-row synthetic range.
     max_key = members.agg(F.max("c_custkey").alias("max_key"))
+    # One partition for the 2000-row synthetic range (a bare
+    # spark.range fans out defaultParallelism=32 near-empty tasks per
+    # leg — round-13, guide §1.2).
     probes = (
-        spark.range(0, 2000)
+        spark.range(0, 2000, 1, 1)
         .crossJoin(F.broadcast(max_key))
         .select((F.col("max_key") + 1 + F.col("id")).alias("c_custkey"))
     )
@@ -206,16 +209,20 @@ def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             _md5pos(F.col("c_custkey"), "#1", m).alias("p1"),
             _md5pos(F.col("c_custkey"), "#2", m).alias("p2"),
         )
+        # The rename stays OUTSIDE the broadcast subtree: a
+        # withColumnRenamed INSIDE it made the two p1/p2 build sides
+        # canonically different, so ReuseExchange could not share them
+        # and each semi-join re-scanned orders and rebuilt the bit set
+        # (round-13, guide §2.4/§7.2 — duplicated subtrees).  With the
+        # bare `mem_pos` on both build sides the second broadcast is a
+        # ReusedExchange.
+        m1, m2 = mem_pos.alias("m1"), mem_pos.alias("m2")
         fp = (
             pr.join(
-                F.broadcast(mem_pos.withColumnRenamed("p", "p1")),
-                "p1",
-                "left_semi",
+                F.broadcast(m1), F.col("p1") == m1["p"], "left_semi"
             )
             .join(
-                F.broadcast(mem_pos.withColumnRenamed("p", "p2")),
-                "p2",
-                "left_semi",
+                F.broadcast(m2), F.col("p2") == m2["p"], "left_semi"
             )
             .agg(F.count(F.lit(1)).alias("n_false_pos"))
         )

@@ -32,7 +32,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_df, table
 from ..sources.layout import path_tag
 from .queries_graph import CC_ORACLE_CTES
 from .registry import ITERATIVE_CONSTRUCTION, register
@@ -118,20 +118,11 @@ def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").over(wcum).alias("cum"),
         F.sum("qty").over(wtot).alias("tot"),
     )
-    qspec = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("qk"),
-                        F.lit(n).alias("num"),
-                        F.lit(d).alias("den"),
-                    )
-                    for k, n, d in _QUANTILES
-                ]
-            )
-        ).alias("q")
-    ).select("q.*")
+    # local_df, not spark.range(1): a 1-row Range leaf still fans out
+    # defaultParallelism (32) tasks (round-13, see catalog.local_df).
+    qspec = local_df(
+        spark, [(k, n, d) for k, n, d in _QUANTILES], "qk string, num int, den int"
+    )
     # 4-row broadcast cross: bin grain × quantile spec, then the same
     # boundary extraction as the median, per (flag, qk).
     bq = b.join(F.broadcast(qspec)).withColumn(
