@@ -638,25 +638,26 @@ def basket_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("nab"))
     )
+    # The per-brand count renames stay OUTSIDE the broadcast subtrees:
+    # renaming inside them made the two build sides canonically
+    # different, so ReuseExchange rebuilt the whole basket pipeline for
+    # each (round-13, guide §2.4 — same fix as bloom_filter_fp_audit);
+    # with bare `bc` on both sides the second build is a
+    # ReusedExchange.
+    ca, cb = bc.alias("ca"), bc.alias("cb")
     return (
-        pairs.join(
-            F.broadcast(bc.select(F.col("p_brand").alias("brand_a"), F.col("nb").alias("na_"))),
-            "brand_a",
-        )
-        .join(
-            F.broadcast(bc.select(F.col("p_brand").alias("brand_b"), F.col("nb").alias("nb_"))),
-            "brand_b",
-        )
+        pairs.join(F.broadcast(ca), F.col("brand_a") == F.col("ca.p_brand"))
+        .join(F.broadcast(cb), F.col("brand_b") == F.col("cb.p_brand"))
         .crossJoin(F.broadcast(t))
         .select(
             "brand_a",
             "brand_b",
             F.col("nab").cast("long").alias("n_both"),
             F.round(F.col("nab") * 1.0 / F.col("n_orders"), 4).alias("support"),
-            F.round(F.col("nab") * 1.0 / F.col("na_"), 4).alias("confidence"),
+            F.round(F.col("nab") * 1.0 / F.col("ca.nb"), 4).alias("confidence"),
             F.round(
                 F.col("nab") * 1.0 * F.col("n_orders")
-                / (F.col("na_") * F.col("nb_")),
+                / (F.col("ca.nb") * F.col("cb.nb")),
                 4,
             ).alias("lift"),
         )

@@ -306,6 +306,12 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_training import _split_label
 
     docs = table(spark, sf_dir, "documents")
+    # NOT persisted (measured, round-13): the extraction chain has two
+    # consumers (pre-gate head aggregate; gated span pipeline), but
+    # persisting it materializes the full `ext` string column into
+    # storage and measured consistently SLOWER (interleaved A/B
+    # medians 7.8/8.9 s vs 6.0/4.3 s) than re-running the map-side
+    # regexp chain from the cached source per consumer.
     ex = docs.select(
         "doc_id",
         "lang",
