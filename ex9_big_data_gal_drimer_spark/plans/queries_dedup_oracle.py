@@ -202,10 +202,15 @@ def minhash_lsh_oracle_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_a"), cand["doc_b"])
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    # Renames via join conditions, not inside the per-doc count's two
+    # join legs: a rename inside each leg made the builds canonically
+    # different, re-aggregating the shingle counts twice per run
+    # (round-13, guide §2.4 — the bloom/basket ReuseExchange fix).
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    j = F.col("i") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
     return (
-        inter.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .filter(j >= 0.5)
         .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -293,13 +298,17 @@ def minhash_estimate_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_a"), cand["doc_b"])
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # Same ReuseExchange discipline as minhash_lsh_oracle_md5: the
+    # per-doc count joins rename via the join condition so both legs
+    # share one build.
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
     truej = F.coalesce(F.col("i"), F.lit(0)) / (
-        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+        F.col("ca.n") + F.col("cb.n") - F.coalesce(F.col("i"), F.lit(0))
     )
     return (
         agree.join(inter, ["doc_a", "doc_b"], "left")
-        .join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
