@@ -18,16 +18,19 @@ contracts toward a star per component in **O(log n) rounds** — a
 100-node chain converges in ~5 rounds where plain min-label
 propagation needs 100 (one round per hop of diameter).
 
-Driver-loop economics (round-3 rework): the loop's wall-time is pure
-per-job overhead once the graph is small, so every round is exactly
-ONE Spark job — the convergence signature's action also materializes
-that round's lazy localCheckpoint (plan truncation without a separate
-eager job).  Convergence is detected on the per-node LABEL assignment
-(min of the closed neighborhood), not the raw edge set: the label map
-is what the caller consumes, and it stabilizes no later than the edge
-set (often a round earlier, e.g. a triangle contracts to a star whose
-labels were already correct).  Correctness of the criterion is pinned
-by tests/test_graph.py's union-find differential on random graphs and
+Driver-loop economics (round-3 rework; round-13 certificate): the
+loop's wall-time is pure per-job overhead once the graph is small, so
+every round is exactly ONE Spark job — the convergence probe's action
+also materializes that round's lazy localCheckpoint (plan truncation
+without a separate eager job).  Convergence is CERTIFIED directly on
+the per-node LABEL assignment (min of the closed neighborhood): the
+labels are the true component labeling exactly when every edge's
+endpoints agree on them (equality propagates along paths, and the
+component min labels itself), so an already-converged input pays zero
+contraction rounds — the old comparative check (signature stable
+across a round) always bought one extra full round just to observe
+stability.  Correctness of the criterion is pinned by
+tests/test_graph.py's union-find differential on random graphs and
 the planted 100-node chain.  The loop's shuffle width is derived from
 the measured edge count — billions of edges keep full parallelism, a
 post-filter residue of a few thousand pairs runs 1-partition with AQE
@@ -97,46 +100,42 @@ def _labels(e: DataFrame) -> DataFrame:
     )
 
 
-def _label_signature(e: DataFrame):
-    """One-action convergence probe: (node count, order-independent
-    hash sum) of the per-node label assignment.  The labels ARE what
-    the caller consumes, so stable labels suffice — the edge set may
-    keep contracting a round longer.  The decimal accumulator avoids
-    ANSI overflow of a LONG sum of xxhash64 values.
-    """
-    row = _labels(e).agg(
-        F.count(F.lit(1)).alias("nodes"),
-        F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return (row["nodes"], row["h"])
+def _converge_probe(e: DataFrame):
+    """(n_edges, converged) in ONE action — the convergence CERTIFICATE
+    probe (round-13 optimization, guide §1.2: the loop's wall-time is
+    per-job floor once the graph is small).
 
-
-def _entry_probe(e: DataFrame):
-    """(n_edges, label signature) in ONE action — the loop entry used
-    to pay three jobs before the first contraction round (eager
-    checkpoint materialization, edges count for the parallelism
-    derivation, initial label signature).  The edge count is the
-    degree sum over the label aggregation's own symmetric input
-    (each undirected edge contributes one row per direction, so
-    Σ deg / 2 = |e|), which lets one collect materialize the (lazy)
-    checkpoint, size the loop AND seed convergence detection."""
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    The min-of-closed-neighborhood label map L is the true component
+    labeling iff every edge's endpoints agree on it: label equality
+    propagates along any path, so all nodes of a component share one
+    label; that shared label is the component MINIMUM because the min
+    node m has no smaller neighbor, hence L(m) = m.  Certifying
+    directly replaces the old comparative check (label signature
+    stable across a round), which always spent one extra full
+    contraction round — two star steps, a distinct and a checkpoint
+    materialization — just to observe that nothing changed.  The
+    certificate is two label joins inside the same single job, and it
+    also materializes the (lazy) checkpoint and counts edges for the
+    parallelism derivation.  Correctness is pinned by
+    tests/test_graph.py's union-find differential on random graphs
+    and the planted multi-round chain."""
+    labels = _labels(e)
     row = (
-        sym.groupBy(F.col("u").alias("node"))
-        .agg(
-            F.least(F.min("v"), F.first("u")).alias("component"),
-            F.count(F.lit(1)).alias("deg"),
+        e.join(
+            labels.select(F.col("node").alias("u"), F.col("component").alias("_lu")),
+            "u",
+        )
+        .join(
+            labels.select(F.col("node").alias("v"), F.col("component").alias("_lv")),
+            "v",
         )
         .agg(
-            F.count(F.lit(1)).alias("nodes"),
-            F.sum(
-                F.xxhash64("node", "component").cast("decimal(38,0)")
-            ).alias("h"),
-            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum((F.col("_lu") != F.col("_lv")).cast("long")).alias("bad"),
         )
         .collect()[0]
     )
-    return (row["n_edges"] or 0, (row["nodes"], row["h"]))
+    return (row["n_edges"] or 0, (row["bad"] or 0) == 0)
 
 
 def connected_components(
@@ -148,9 +147,10 @@ def connected_components(
     """(node, component) for every node in `edges`; component = min
     node id reachable in the undirected pair graph.
 
-    One large-star + small-star round per iteration; converged when
-    the per-node label assignment (min of the closed neighborhood) is
-    stable across a round.  Raises :class:`ConvergenceError` if
+    One large-star + small-star round per iteration; convergence is
+    certified when every edge's endpoints agree on the per-node label
+    assignment (min of the closed neighborhood) — see
+    :func:`_converge_probe`.  Raises :class:`ConvergenceError` if
     max_iter is exhausted — at O(log n) rounds the default 20 covers
     graphs far beyond any realistic corpus (2^20 diameter), so hitting
     it means the input is pathological, and silently returning
@@ -160,15 +160,15 @@ def connected_components(
     # Detach from the (possibly huge) upstream pair pipeline: every
     # round re-reads the checkpointed edges, never the pipeline.  The
     # checkpoint is LAZY and materializes inside the entry probe's
-    # action, which also derives the loop parallelism and seeds
-    # convergence detection — one job where the loop entry used to
-    # spend three (eager-checkpoint job + count job + signature job;
-    # round-13 optimization, guide §1.2: per-job overhead dominates
-    # once the graph is small).
+    # action, which derives the loop parallelism AND certifies
+    # convergence directly (round-13 optimization, guide §1.2: an
+    # already-converged graph — the common case for near-dup residues
+    # — now pays ZERO contraction rounds; the old signature-stability
+    # check always spent one full verification round).
     e = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=False)
-    n_edges, prev_sig = _entry_probe(e)
+    n_edges, converged = _converge_probe(e)
 
     conf = spark.conf
     saved = {
@@ -183,20 +183,16 @@ def connected_components(
             # Overhead regime: AQE's per-stage re-planning adds job
             # boundaries but has nothing to coalesce below 4 partitions.
             conf.set("spark.sql.adaptive.enabled", "false")
-        converged = False
         for _ in range(max_iter):
+            if converged:
+                break
             # Lazy checkpoint: truncates lineage (each round references
             # `e` three times, so an un-truncated plan grows ~3× per
             # round and Catalyst re-optimization explodes) but defers
-            # materialization to the signature's action — ONE job per
+            # materialization to the certificate's action — ONE job per
             # round instead of an eager-checkpoint job + a probe job.
-            e_next = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            sig = _label_signature(e_next)
-            e = e_next
-            if sig == prev_sig:
-                converged = True
-                break
-            prev_sig = sig
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            _, converged = _converge_probe(e)
         if not converged:
             raise ConvergenceError(
                 f"connected_components did not converge in {max_iter} rounds"
