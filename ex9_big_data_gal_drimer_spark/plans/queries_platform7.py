@@ -405,10 +405,17 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("n_tokens"),
     )
+    # Persisted: doc_tokens feeds THREE union legs (5_bpe_segment,
+    # 6_pack via offsets, 7_split) — without the persist the whole
+    # occ → tok join → per-doc aggregate subtree re-executed once per
+    # leg inside the final action (round-13, guide §2.4: don't compute
+    # the same pass twice).  Per-(doc, lang) grain, a few thousand
+    # rows — same intra-query-intermediate contract as spans_w above.
     doc_tokens = (
         occ.join(tok, "w")
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("n_tokens") * F.col("cnt")).alias("toks"))
+        .persist()
     )
 
     woff = (
