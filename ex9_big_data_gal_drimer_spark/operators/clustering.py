@@ -75,6 +75,7 @@ def assign_ids(
     id_col: str,
     vec_col: str,
     n_best: int = 1,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, centroid_id) nearest-centroid assignment as ONE
     Arrow-vectorized zero-shuffle pass — a numpy batch matmul +
@@ -82,7 +83,11 @@ def assign_ids(
     task closure.  `n_best > 1` emits the top-n probes per row
     (desc cosine, ties → smallest centroid id; `rows` is id-sorted
     and both np.argmax and the stable argsort take the first
-    maximum).
+    maximum).  `keep_vec=True` passes the vector column through the
+    same pass (round-13: lets the IVF candidate route skip the
+    re-join of candidate ids back to the corpus for their vectors —
+    an exchange pair — by carrying the vector through the map-side
+    broadcast probe join).
 
     This replaced two earlier shapes that are strictly worse at this
     op's scale points: crossJoin+groupBy argmax (shuffles k×n rows)
@@ -108,21 +113,27 @@ def assign_ids(
             X = np.stack(pdf[vec_col].to_numpy())
             sims = X @ C.T
             if n_best == 1:
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col].to_numpy(),
-                     "centroid_id": id_arr[sims.argmax(axis=1)]}
-                )
+                out = {id_col: pdf[id_col].to_numpy(),
+                       "centroid_id": id_arr[sims.argmax(axis=1)]}
+                if keep_vec:
+                    out[vec_col] = pdf[vec_col].to_numpy()
+                yield pd.DataFrame(out)
             else:
                 # stable argsort of -sims: equal sims keep id order
                 top = np.argsort(-sims, axis=1, kind="stable")[:, :n_best]
-                yield pd.DataFrame(
-                    {id_col: np.repeat(pdf[id_col].to_numpy(), n_best),
-                     "centroid_id": id_arr[top].ravel()}
-                )
+                out = {id_col: np.repeat(pdf[id_col].to_numpy(), n_best),
+                       "centroid_id": id_arr[top].ravel()}
+                if keep_vec:
+                    out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), n_best)
+                yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        f, f"{id_col} {id_type}, centroid_id INT"
-    )
+    schema = f"{id_col} {id_type}, centroid_id INT"
+    if keep_vec:
+        vec_type = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }[vec_col]
+        schema += f", {vec_col} {vec_type}"
+    return df.select(id_col, vec_col).mapInPandas(f, schema)
 
 
 def kmeans_fit(

@@ -332,6 +332,67 @@ def pq_adc_topk(
     )
 
 
+def _assign_and_encode(
+    emb: DataFrame,
+    cent_rows: list,
+    codebooks: list,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, centroid_id, codes) in ONE zero-shuffle Arrow pass — the
+    fusion of ``clustering.assign_ids`` and :func:`pq_encode` for the
+    IVF+PQ composition (round-13, guide §2.4/§4.1): the unfused form
+    ran TWO full-corpus Python passes and re-joined their outputs on
+    id (an extra exchange pair), when both are per-row functions of
+    the same vector.  Assignment math is byte-identical to
+    assign_ids (argmax of X @ normalized-centroidsᵀ on the RAW rows);
+    code math is byte-identical to pq_encode (per-subspace L2 argmin
+    on UNIT rows)."""
+    import numpy as np
+
+    from .clustering import _normed_matrix
+
+    ids, cn = _normed_matrix(cent_rows)
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[
+        id_col
+    ]
+
+    def f(batches):
+        import pandas as pd
+
+        C = np.asarray(cn)
+        cid_arr = np.asarray(ids)
+        B = [np.asarray(b) for b in codebooks]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy())
+            sims = X @ C.T
+            U = _unit_rows(X)
+            codes = np.empty((len(U), m), dtype=np.int32)
+            for s in range(m):
+                Us = U[:, s * d_sub : (s + 1) * d_sub]
+                d2 = (
+                    (Us**2).sum(1)[:, None]
+                    - 2 * Us @ B[s].T
+                    + (B[s] ** 2).sum(1)[None, :]
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid_id": cid_arr[sims.argmax(axis=1)],
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        f, f"{id_col} {id_type}, centroid_id INT, codes ARRAY<INT>"
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -359,11 +420,12 @@ def ivfpq_topk(
     scanned vector (m bytes of codes), and the exact re-rank restores
     ranking on just rerank_factor·k candidates.
 
-    Every stage is an existing audited operator: list assignment is
-    `clustering.assign_ids` (zero-shuffle Arrow argmax), codes come
-    from `pq_encode` (zero-shuffle Arrow argmin), candidate routing
-    is ONE equi-join on centroid_id, and the ADC lookup runs
-    map-side with the per-query tables in the closure."""
+    Every stage is an existing audited operator: list assignment and
+    PQ codes come from ONE fused zero-shuffle Arrow pass
+    (:func:`_assign_and_encode` — byte-identical math to
+    `clustering.assign_ids` + :func:`pq_encode`), candidate routing
+    is ONE broadcast equi-join on centroid_id, and the ADC lookup
+    runs map-side with the per-query tables in the closure."""
     import numpy as np
 
     from .clustering import assign_ids
@@ -387,7 +449,6 @@ def ivfpq_topk(
     )
     n_cand = rerank_factor * k
 
-    corpus_lists = assign_ids(corpus, cent_rows, id_col, vec_col, 1)
     query_probes = assign_ids(
         queries.select(
             F.col(query_id_col).alias("__qid"),
@@ -398,12 +459,15 @@ def ivfpq_topk(
         "__qv",
         nprobe,
     )
-    codes_df = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     # Route: only vectors in a query's probed lists reach the ADC.
+    # List assignment and PQ codes come from ONE fused corpus pass
+    # (round-13: the unfused assign_ids ⋈ pq_encode re-join on id was
+    # a second full-corpus Python pass plus an exchange pair), and the
+    # broadcast probe join is map-side, so routing stays zero-shuffle.
     routed = (
-        corpus_lists.join(F.broadcast(query_probes), "centroid_id")
-        .select(F.col("__qid").alias(query_id_col), id_col)
-        .join(codes_df, id_col)
+        _assign_and_encode(corpus, cent_rows, books, id_col, vec_col)
+        .join(F.broadcast(query_probes), "centroid_id")
+        .select(F.col("__qid").alias(query_id_col), id_col, "codes")
     )
 
     def adc(batches):

@@ -380,7 +380,9 @@ def ivf_cosine_topk(
         else _random_centroid_rows(dim, num_centroids, seed)
     )
 
-    corpus_lists = assign_ids(corpus, cent_rows, id_col, vec_col, 1)
+    corpus_lists = assign_ids(
+        corpus, cent_rows, id_col, vec_col, 1, keep_vec=True
+    )
     query_probes = assign_ids(
         queries.select(
             F.col(query_id_col).alias("__qid"),
@@ -392,14 +394,21 @@ def ivf_cosine_topk(
         nprobe,
     )
 
-    cand_ids = (
+    # (query, candidate) pairs are UNIQUE by construction — each corpus
+    # vector sits in exactly one list (n_best=1) and a query's nprobe
+    # probes are distinct lists — so the old dropDuplicates was a
+    # no-op exchange; carrying the corpus vector through the map-side
+    # broadcast probe join (keep_vec) also removes the candidate-id
+    # re-join against the corpus for its vectors (round-13, guide
+    # §2.4: remove shuffles outright).
+    candidates = (
         corpus_lists.join(F.broadcast(query_probes), "centroid_id")
         .filter(F.col(id_col) != F.col("__qid"))
-        .select(F.col("__qid").alias(query_id_col), id_col)
-        .dropDuplicates([query_id_col, id_col])
-    )
-    candidates = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
-        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+        .select(F.col("__qid").alias(query_id_col), id_col, vec_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
     )
 
     sim = F.round(
