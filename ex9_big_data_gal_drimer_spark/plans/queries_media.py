@@ -83,21 +83,24 @@ def media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _text_to_ppm_and_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Both containers of the SAME image per doc: P6 PPM and a valid
-    RGB PNG tiling identical pixel bytes."""
+def _text_to_ppm_png_stacked(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Both containers of the SAME image per doc — P6 PPM and a valid
+    RGB PNG tiling identical pixel bytes — STACKED as two rows keyed
+    ``doc_id*2 + kind`` (kind 0=PPM, 1=PNG), so one synthesis pass and
+    one decoder pass cover both sides of the parity audit."""
     from ..operators.udtf_media import make_png_rgb
 
     for pdf in batches:
-        ppms, pngs = [], []
-        for t in pdf["text"]:
+        ids, payloads = [], []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
             raw = (t or " ").encode("utf-8", "replace")
             body = (raw * (_BODY // len(raw) + 1))[:_BODY]
-            ppms.append(f"P6\n{_W} {_H}\n255\n".encode() + body)
-            pngs.append(make_png_rgb(_W, _H, body))
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "ppm": ppms, "png": pngs}
-        )
+            ids.extend((2 * d, 2 * d + 1))
+            payloads.append(f"P6\n{_W} {_H}\n255\n".encode() + body)
+            payloads.append(make_png_rgb(_W, _H, body))
+        yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
 
 @register("media_png_decode_parity")
@@ -114,21 +117,31 @@ def media_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas; the join is a broadcast-size equi-join on media_id at
     the audited grain, and the output is one bounded summary row."""
     docs = _bounded_docs(spark, sf_dir)
-    both = docs.mapInPandas(
-        _text_to_ppm_and_png, "media_id long, ppm binary, png binary"
+    # KIND-STACKED single pass (round-13, guide §2.4/§4.1): the old
+    # shape fed one (media_id, ppm, png) synthesis subtree into TWO
+    # extract_features legs, so the whole synthesis ran twice per
+    # action (once per leg) and the legs re-joined on media_id.  Both
+    # payloads now leave ONE synthesis pass as separate rows keyed
+    # media_id*2+kind (kind 0=PPM, 1=PNG — invisible: the output is
+    # the two audit counts), one decoder pass covers both, and the
+    # parity compare is a per-doc aggregate instead of a join.
+    stacked = docs.mapInPandas(
+        _text_to_ppm_png_stacked, "media_id long, payload binary"
     )
-    ppm_f = extract_features(
-        both.select("media_id", F.col("ppm").alias("payload")),
-        num_features=8,
-        real_decoder=True,
-    ).select("media_id", F.col("features").alias("ppm_features"))
-    png_f = extract_features(
-        both.select("media_id", F.col("png").alias("payload")),
-        num_features=8,
-        real_decoder=True,
-    ).select("media_id", F.col("features").alias("png_features"))
-    joined = ppm_f.join(png_f, "media_id")
-    return joined.agg(
+    feats = extract_features(stacked, num_features=8, real_decoder=True)
+    per_doc = feats.groupBy(
+        F.floor(F.col("media_id") / 2).alias("doc")
+    ).agg(
+        F.first(
+            F.when(F.col("media_id") % 2 == 0, F.col("features")),
+            ignorenulls=True,
+        ).alias("ppm_features"),
+        F.first(
+            F.when(F.col("media_id") % 2 == 1, F.col("features")),
+            ignorenulls=True,
+        ).alias("png_features"),
+    )
+    return per_doc.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(
             F.when(F.col("ppm_features") != F.col("png_features"), 1).otherwise(0)
@@ -136,21 +149,25 @@ def media_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _text_to_jpegs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Both JPEG encodings of the SAME image per doc: baseline (SOF0)
+def _text_to_jpegs_stacked(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Both JPEG encodings of the SAME image per doc — baseline (SOF0)
     and progressive (SOF2, spectral selection + DC successive
-    approximation) streams carrying identical quantized coefficients."""
+    approximation) streams carrying identical quantized coefficients —
+    STACKED as two rows keyed ``doc_id*2 + kind`` (kind 0=baseline,
+    1=progressive), so one synthesis pass and one decoder pass cover
+    both sides of the parity audit."""
     from ..operators.udtf_media import make_jpeg_gray
 
     for pdf in batches:
-        bases, progs = [], []
-        for t in pdf["text"]:
+        ids, payloads = [], []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
             raw = (t or " ").encode("utf-8", "replace")
-            bases.append(make_jpeg_gray(_W, _H, raw, progressive=False))
-            progs.append(make_jpeg_gray(_W, _H, raw, progressive=True))
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "baseline": bases, "progressive": progs}
-        )
+            ids.extend((2 * d, 2 * d + 1))
+            payloads.append(make_jpeg_gray(_W, _H, raw, progressive=False))
+            payloads.append(make_jpeg_gray(_W, _H, raw, progressive=True))
+        yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
 
 @register("media_jpeg_decode_parity")
@@ -171,21 +188,31 @@ def media_jpeg_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas; the join is a broadcast-size equi-join on media_id at
     the audited grain, and the output is one bounded summary row."""
     docs = _bounded_docs(spark, sf_dir)
-    both = docs.mapInPandas(
-        _text_to_jpegs, "media_id long, baseline binary, progressive binary"
+    # KIND-STACKED single pass (round-13, guide §2.4/§4.1): the old
+    # shape fed one (media_id, baseline, progressive) synthesis
+    # subtree into TWO extract_features legs, so every doc was
+    # ENCODED FOUR times per action (both kinds, once per leg) and
+    # the legs re-joined on media_id.  Both encodings now leave ONE
+    # synthesis pass as separate rows keyed media_id*2+kind, one
+    # decoder pass covers both, and the parity compare is a per-doc
+    # aggregate instead of a join.
+    stacked = docs.mapInPandas(
+        _text_to_jpegs_stacked, "media_id long, payload binary"
     )
-    base_f = extract_features(
-        both.select("media_id", F.col("baseline").alias("payload")),
-        num_features=8,
-        real_decoder=True,
-    ).select("media_id", F.col("features").alias("baseline_features"))
-    prog_f = extract_features(
-        both.select("media_id", F.col("progressive").alias("payload")),
-        num_features=8,
-        real_decoder=True,
-    ).select("media_id", F.col("features").alias("progressive_features"))
-    joined = base_f.join(prog_f, "media_id")
-    return joined.agg(
+    feats = extract_features(stacked, num_features=8, real_decoder=True)
+    per_doc = feats.groupBy(
+        F.floor(F.col("media_id") / 2).alias("doc")
+    ).agg(
+        F.first(
+            F.when(F.col("media_id") % 2 == 0, F.col("features")),
+            ignorenulls=True,
+        ).alias("baseline_features"),
+        F.first(
+            F.when(F.col("media_id") % 2 == 1, F.col("features")),
+            ignorenulls=True,
+        ).alias("progressive_features"),
+    )
+    return per_doc.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(
             F.when(
