@@ -46,11 +46,20 @@ def _md5int(col: Column) -> Column:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct 3-word shingles per document."""
+    """(doc_id, s): distinct 3-word shingles per document.
+
+    Persisted: every md5-twin query consumes this relation through
+    several plan legs (signature aggregate, per-doc counts, both
+    sides of the exact-intersection join), and each leg — plus each
+    broadcast build — re-ran the corpus explode+distinct otherwise
+    (round-13, guide §2.4).  CacheManager keys on the canonical plan,
+    so the whole family shares ONE cached copy — the same contract as
+    the CC family's cached pair edges."""
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s"))
         .distinct()
+        .persist()
     )
 
 
@@ -66,7 +75,12 @@ def _signature(sh: DataFrame) -> DataFrame:
     groupBy(doc_id) with K min() aggregates produces the identical
     signature VALUES from 1/8th the aggregation input rows and one
     exchange.  Slot i's hash string is byte-identical to the exploded
-    form's (CAST(hi AS STRING) = str(i) for 0..7)."""
+    form's (CAST(hi AS STRING) = str(i) for 0..7).
+
+    Persisted (round-13): the signature feeds the band explode AND
+    both slot-agreement broadcast sides, and each broadcast build
+    re-ran the 8-hash aggregate over the full shingle relation —
+    doc-count × (K+1) columns, trivially cache-sized."""
     return sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -74,7 +88,7 @@ def _signature(sh: DataFrame) -> DataFrame:
             ).alias(f"mh{i}")
             for i in range(_K)
         ]
-    )
+    ).persist()
 
 
 def _band_buckets(sig: DataFrame) -> DataFrame:

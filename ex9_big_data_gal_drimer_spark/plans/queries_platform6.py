@@ -358,6 +358,11 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import apply_bpe_merges
 
     docs = table(spark, sf_dir, "documents")
+    # Persisted: occ feeds the training word count, the distinct-word
+    # segmentation leg AND the final per-source rollup join — without
+    # the persist the corpus-scale explode+aggregate re-executed once
+    # per consumer (round-13, guide §2.4).  Per-(source, word) grain,
+    # vocabulary-sized — same intermediate contract as seqs below.
     occ = (
         docs.select(
             "source",
@@ -366,6 +371,7 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") >= 1)
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     words = (
         occ.groupBy("w")
