@@ -52,44 +52,78 @@ def brute_force_topk(
     )
 
 
-def _planes_df(spark, dim: int, num_tables: int, hash_bits: int, seed: int) -> DataFrame:
+def _plane_rows(dim: int, num_tables: int, hash_bits: int, seed: int) -> list:
+    """(table_id, bit, plane) hyperplane model rows — seeded driver-side
+    RNG, tiny (num_tables × hash_bits × dim doubles)."""
     rng = random.Random(seed)
-    rows = [
+    return [
         (t, b, [rng.gauss(0.0, 1.0) for _ in range(dim)])
         for t in range(num_tables)
         for b in range(hash_bits)
     ]
-    from ..catalog import local_df
-
-    return local_df(spark, rows, "table_id INT, bit INT, plane ARRAY<DOUBLE>")
 
 
-def _bucket_ids(df: DataFrame, planes: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _bucket_ids(
+    df: DataFrame, plane_rows: list, id_col: str, vec_col: str
+) -> DataFrame:
     """(id, vec) → (id, table_id, bucket): sign-bit LSH bucket per
-    table.  Broadcast-join with the planes table (num_tables×hash_bits
-    rows), then pack sign bits per (id, table) in one aggregation.
+    table, as ONE zero-shuffle Arrow pass with the hyperplane model in
+    the task closure (the same model-in-closure shape as
+    clustering.assign_ids).
 
-    The vector payload is deliberately NOT carried past the dot
-    product: the plane join fans each row out ×(tables·bits), so
-    keeping the vector there multiplies its bytes through the groupBy
-    shuffle (observed 65 MB shuffled for a 1 MB corpus).  Only
-    (id, table_id, bit_value) longs transit the exchange; callers
-    re-fetch vectors by equi-join for the (small) candidate set.
-    The repartition fans a few-file parquet scan out across cores
-    before the interpreted-HOF dot products."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    signs = (
-        df.repartition(par, F.col(id_col))
-        .crossJoin(F.broadcast(planes))
-        .select(
-            id_col,
-            "table_id",
-            "bit",
-            (dot(F.col(vec_col), F.col("plane")) > 0).cast("long").alias("sign"),
-        )
-        .select(id_col, "table_id", F.expr("shiftleft(sign, bit)").alias("bit_value"))
+    Round-13 (guide §2.4/§4): the previous form broadcast-joined a
+    planes TABLE (fanning each row ×(tables·bits)), evaluated the dot
+    as an interpreted HOF fold (CodegenFallback — a dedicated
+    32-partition repartition existed just to spread that CPU) and
+    re-aggregated the fan-out by (id, table) — a full exchange per
+    side.  The numpy pass accumulates the dot SEQUENTIALLY over the
+    dimension axis — the identical left-to-right IEEE order as the
+    HOF fold ((0.0 + v0·p0) + v1·p1 + …) — so every sign bit, bucket
+    id, candidate set and final row is byte-identical.
+
+    The vector payload still never transits an exchange: the pass is
+    map-side and emits only (id, table_id, bucket) longs."""
+    import numpy as np
+
+    tb = [(t, b) for t, b, _ in plane_rows]
+    planes = [p for _, _, p in plane_rows]
+    num_tables = 1 + max(t for t, _ in tb)
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[
+        id_col
+    ]
+
+    def f(batches):
+        import pandas as pd
+
+        P = np.asarray(planes)  # (T*B, dim)
+        dim = P.shape[1]
+        tables = np.asarray([t for t, _ in tb])
+        shifts = np.asarray([1 << b for _, b in tb], dtype=np.int64)
+        t_ids = np.arange(num_tables)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy())
+            # Sequential accumulation over the dimension axis keeps
+            # the HOF fold's exact IEEE summation order.
+            acc = np.zeros((len(X), P.shape[0]))
+            for d in range(dim):
+                acc += X[:, d, None] * P[None, :, d]
+            bit_values = (acc > 0).astype(np.int64) * shifts[None, :]
+            buckets = np.zeros((len(X), num_tables), dtype=np.int64)
+            for j, t in enumerate(tables):
+                buckets[:, t] += bit_values[:, j]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), num_tables),
+                    "table_id": np.tile(t_ids, len(X)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        f, f"{id_col} {id_type}, table_id INT, bucket BIGINT"
     )
-    return signs.groupBy(id_col, "table_id").agg(F.sum("bit_value").alias("bucket"))
 
 
 def lsh_cosine_topk(
@@ -116,8 +150,7 @@ def lsh_cosine_topk(
     candidate count — selectivity, not recall, is the binding
     constraint there.
     """
-    spark = corpus.sparkSession
-    planes = _planes_df(spark, dim, num_tables, hash_bits, seed)
+    planes = _plane_rows(dim, num_tables, hash_bits, seed)
 
     cb = _bucket_ids(corpus, planes, id_col, vec_col)
     qb = _bucket_ids(
