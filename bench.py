@@ -47,7 +47,10 @@ import time
 # set before the JVM launches, hence before get_spark() runs.
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
-from ex9_big_data_gal_drimer_spark.catalog import cache_tables
+from ex9_big_data_gal_drimer_spark.catalog import (
+    cache_tables,
+    release_query_caches,
+)
 from ex9_big_data_gal_drimer_spark.plans import QUERIES
 from ex9_big_data_gal_drimer_spark.session import get_spark
 
@@ -243,9 +246,20 @@ def main() -> int:
         # scheduling, execution, Arrow result transfer and the pandas
         # conversion — not the Python-side plan construction, which is
         # client chatter DuckDB's sub-ms parse has no analogue for.
+        # Query-created caches (intra-query intermediates registered
+        # via catalog.query_persist) are RELEASED before every timed
+        # run, so each run re-materializes them and the persist's fill
+        # cost lands inside the stopwatch — a persist-only change now
+        # moves the number by ~0 (round-13 verdict #2: the old harness
+        # let the warmup materialize them, so timed reps read
+        # InMemoryTableScan and the fill was never charged; r13's
+        # persist-driven per-query numbers are not comparable).  The
+        # warmup still pays codegen/classload and the BASE table cache
+        # fill; base caches (cache_tables) are never released here.
         fetch(fn(spark, sf_dir))  # untimed warmup (codegen, cache fill)
         samples = []
         for _ in range(repeats):
+            release_query_caches()
             if name in iterative:
                 t0 = time.perf_counter()
                 fetch(fn(spark, sf_dir))
@@ -254,6 +268,7 @@ def main() -> int:
                 t0 = time.perf_counter()
                 fetch(df)
             samples.append(time.perf_counter() - t0)
+        release_query_caches()
         times[name] = round(statistics.median(samples), 3)
 
     out = {

@@ -187,6 +187,44 @@ def release_caches(spark: SparkSession) -> None:
         _CACHE_PARTITIONS.pop(key, None)
 
 
+#: Query-created caches — intra-query intermediates persisted because
+#: >1 consumer reads them (posting lists, signature tables, loop
+#: invariants).  Registered so a harness can RELEASE them between
+#: timed runs: with the caches dropped before each rep, the rep's
+#: action re-materializes them and the persist's cost is charged to
+#: the timed region instead of hiding in the untimed warmup (round-13
+#: verdict #2 — persist-only changes must move the bench number by
+#: ~0).  Input-table caches (cache_tables, the hotels fixture parse)
+#: are NOT here: they are the declared suite amortization, reported
+#: as setup_seconds.
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def query_persist(df: DataFrame) -> DataFrame:
+    """Persist an intra-query intermediate and register it for
+    :func:`release_query_caches`.  Same storage level as bare
+    ``.persist()``; the only difference is the registration."""
+    df.persist()
+    _QUERY_CACHES.append(df)
+    return df
+
+
+def release_query_caches() -> int:
+    """Unpersist every registered query-created cache (idempotent;
+    double-unpersist is a no-op).  Returns how many were released.
+    Harnesses call this between timed runs so every run re-computes
+    from the input tables; long-lived sessions call it to stop cache
+    entries accumulating across many queries (round-13 verdict #7)."""
+    n = len(_QUERY_CACHES)
+    for df in _QUERY_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _QUERY_CACHES.clear()
+    return n
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in tables:

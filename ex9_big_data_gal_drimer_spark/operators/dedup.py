@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import query_persist
 from ..functions import (
     band_hashes,
     jaccard,
@@ -86,9 +87,11 @@ def ngram_jaccard_pairs(
     # pipeline (same pattern as the MinHash/SimHash signature caches).
     # CacheManager keys on the logical plan, so repeated calls with the
     # same source reuse one entry rather than accumulating.
-    posting = base.select(
-        "doc_id", *block_cols, "n_sh", F.explode("sh").alias("shingle")
-    ).cache()
+    posting = query_persist(
+        base.select(
+            "doc_id", *block_cols, "n_sh", F.explode("sh").alias("shingle")
+        )
+    )
     a, b = posting.alias("a"), posting.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.doc_id") < F.col("b.doc_id")
@@ -161,8 +164,9 @@ def ngram_jaccard_pairs_prefix(
             ),
         )
         .drop("raw_sh")
-        .cache()  # both candidate sides + the verify join read this
     )
+    # both candidate sides + the verify join read this
+    base = query_persist(base)
     posting = base.select(
         "doc_id", *block_cols, F.explode("prefix").alias("shingle")
     )
@@ -256,8 +260,10 @@ def minhash_lsh_pairs(
                 minhash_signature(F.col("sh"), num_hashes), num_bands, rows_per_band
             )
         ).alias("band_id", "band_hash"),
-    ).cache()  # both candidate-join sides read this; uncached, each
-    #            side re-derives shingles + 16 minhashes per doc
+    )
+    # both candidate-join sides read this; uncached, each side
+    # re-derives shingles + 16 minhashes per doc
+    sigs = query_persist(sigs)
 
     a, b = sigs.alias("a"), sigs.alias("b")
     candidates = (
@@ -346,7 +352,7 @@ def simhash_pairs(
     # 6 HashAggregates in the plan, no exchange reuse).  The cached set
     # is one row per doc (bits + blocks arrays) — tiny relative to the
     # corpus; Spark's LRU evicts it under pressure.
-    fp = fp.cache()
+    fp = query_persist(fp)
     buckets = fp.select(
         "doc_id", "bits", F.posexplode("blocks").alias("block_id", "block_value")
     )

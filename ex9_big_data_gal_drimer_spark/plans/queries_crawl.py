@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import local_df, table
+from ..catalog import local_df, query_persist, table
 from ..operators.urls import (
     canonicalize_url_sql,
     host_of,
@@ -510,8 +510,8 @@ def crawl_front_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             path_of(F.col("canon")).alias("path"),
         )
-        .persist()
     )
+    kept = query_persist(kept)
     rules = F.broadcast(
         local_df(spark, list(ROBOTS_RULES), "prefix string, allow boolean")
     )
@@ -533,7 +533,8 @@ def crawl_front_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_text(synthesize_page(F.col("doc_id"), F.col("text"))).alias(
             "ext"
         ),
-    ).persist()
+    )
+    ex = query_persist(ex)
 
     def one(df: DataFrame, name: str, measure: F.Column) -> DataFrame:
         return df.agg(

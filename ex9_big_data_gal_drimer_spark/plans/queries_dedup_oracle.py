@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from ..functions import tokens, word_shingles
 from .registry import register
 
@@ -54,12 +54,13 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build — re-ran the corpus explode+distinct otherwise
     (round-13, guide §2.4).  CacheManager keys on the canonical plan,
     so the whole family shares ONE cached copy — the same contract as
-    the CC family's cached pair edges."""
-    return (
+    the CC family's cached pair edges.  Registered via query_persist:
+    the bench releases it between timed runs, so each query's number
+    charges its own materialization (round-13 verdict #2)."""
+    return query_persist(
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s"))
         .distinct()
-        .persist()
     )
 
 
@@ -81,14 +82,16 @@ def _signature(sh: DataFrame) -> DataFrame:
     both slot-agreement broadcast sides, and each broadcast build
     re-ran the 8-hash aggregate over the full shingle relation —
     doc-count × (K+1) columns, trivially cache-sized."""
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                _md5int(F.concat(F.lit(f"{i}:"), F.col("s")))
-            ).alias(f"mh{i}")
-            for i in range(_K)
-        ]
-    ).persist()
+    return query_persist(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    _md5int(F.concat(F.lit(f"{i}:"), F.col("s")))
+                ).alias(f"mh{i}")
+                for i in range(_K)
+            ]
+        )
+    )
 
 
 def _band_buckets(sig: DataFrame) -> DataFrame:

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from ..operators.dedup import ngram_jaccard_pairs
 from ..operators.graph import connected_components
 from .registry import register
@@ -72,9 +72,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it on every rebuild of this query.  CacheManager keys on the
     # logical plan, so repeated calls share one entry — the same
     # pattern as the posting-list cache inside ngram_jaccard_pairs.
-    pairs = ngram_jaccard_pairs(
-        docs, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
-    ).cache()
+    pairs = query_persist(
+        ngram_jaccard_pairs(
+            docs, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
+        )
+    )
     return (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), F.col("component").cast("long"))
@@ -149,8 +151,8 @@ def triangle_census_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         # storage), the edge set is ≤ part-pair-sized, and it drops
         # with the session; per-sf_dir entries accumulate only across
         # distinct sf_dirs (bounded by the suite's 3).
-        .cache()
     )
+    edges = query_persist(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -135,15 +135,31 @@ def build_hotel_oracles(csv_path) -> dict[str, str]:
     return out
 
 
+#: (applicationId) -> cached hotels DataFrame.  The fixture CSV is an
+#: INPUT table (the flagship six's only source), so its cache is the
+#: same suite amortization as catalog.cache_tables — memoized per
+#: session so .cache() is called once, not once per construction
+#: (every repeat call WARNed "already cached" — round-14).
+_HOTELS_CACHED: dict[str, DataFrame] = {}
+
+
+def _hotels_table(spark: SparkSession) -> DataFrame:
+    key = spark.sparkContext.applicationId
+    df = _HOTELS_CACHED.get(key)
+    if df is None:
+        df = read_hotels_csv(spark, str(FIXTURE_PATH)).cache()
+        _HOTELS_CACHED[key] = df
+    return df
+
+
 def _register_all() -> None:
     oracles = build_hotel_oracles(FIXTURE_PATH)
     for name, plan in HOTEL_QUERIES.items():
 
         def fn(spark: SparkSession, sf_dir: str, _plan=plan) -> DataFrame:
-            # .cache(): six queries × repeated runs share ONE parse of
-            # the (unsplittable multiLine) CSV — CacheManager dedupes
-            # by plan, exactly like the testdata table caches.
-            return _plan(read_hotels_csv(spark, str(FIXTURE_PATH)).cache())
+            # One shared parse of the (unsplittable multiLine) CSV —
+            # an input-table cache, exactly like the testdata tables.
+            return _plan(_hotels_table(spark))
 
         fn.__name__ = name
         fn.__doc__ = plan.__doc__

@@ -12,7 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from .registry import ITERATIVE_CONSTRUCTION, register
 
 #: Settled/delta boundary for the incremental aggregate — orders span
@@ -192,8 +192,10 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The graph is reread every iteration — persist the edge list and
     # derived degree/node tables once (they are the loop invariants).
-    edges = edges.persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    edges = query_persist(edges)
+    nodes = query_persist(
+        edges.select(F.col("src").alias("node")).distinct()
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

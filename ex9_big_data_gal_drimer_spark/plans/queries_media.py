@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from ..operators.multimodal import extract_features
 from .registry import register
 
@@ -649,10 +649,12 @@ def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent: CacheManager dedupes by logical plan so repeated
     # invocations hold ONE ~50-row entry per sf_dir, and
     # catalog.release_caches drops it with the rest.
-    both = docs.mapInPandas(
-        _text_to_both_video_containers,
-        "media_id long, avi binary, mp4 binary",
-    ).cache()
+    both = query_persist(
+        docs.mapInPandas(
+            _text_to_both_video_containers,
+            "media_id long, avi binary, mp4 binary",
+        )
+    )
     avi_f = extract_video_features(
         both.select("media_id", F.col("avi").alias("payload")),
         real_decoder=True,

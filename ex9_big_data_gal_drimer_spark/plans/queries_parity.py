@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from ..functions import case_map, token_count
 from ..operators.relational import percent_of_total, sorted_small
 from .registry import register
@@ -60,7 +60,7 @@ def _orders_with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-    return joined.select(*_BASE_COLS).cache()
+    return query_persist(joined.select(*_BASE_COLS))
 
 
 @register(

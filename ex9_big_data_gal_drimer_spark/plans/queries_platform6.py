@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import local_df, table
+from ..catalog import local_df, query_persist, table
 from ..operators.bpe import chars_to_seq, train_bpe_merges
 from ..operators.html import extract_text, extract_text_sql
 from .registry import register
@@ -371,8 +371,8 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") >= 1)
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
+    occ = query_persist(occ)
     words = (
         occ.groupBy("w")
         .agg(F.sum("cnt").alias("cnt"))

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from ..operators.dedup import remove_duplicate_spans_cdc
 from .registry import register
 
@@ -366,9 +366,9 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality, window=32, text_col="ext", keep_cols=("lang",)
     ).select("doc_id", "lang", "new_text")
     wn = Window.partitionBy(F.md5("new_text")).orderBy("doc_id")
-    spans_w = spans.withColumn(
-        "rn", F.row_number().over(wn)
-    ).persist()
+    spans_w = query_persist(
+        spans.withColumn("rn", F.row_number().over(wn))
+    )
     kept = spans_w.filter(F.col("rn") == 1).drop("rn")
 
     occ = (
@@ -411,11 +411,10 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leg inside the final action (round-13, guide §2.4: don't compute
     # the same pass twice).  Per-(doc, lang) grain, a few thousand
     # rows — same intra-query-intermediate contract as spans_w above.
-    doc_tokens = (
+    doc_tokens = query_persist(
         occ.join(tok, "w")
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("n_tokens") * F.col("cnt")).alias("toks"))
-        .persist()
     )
 
     woff = (

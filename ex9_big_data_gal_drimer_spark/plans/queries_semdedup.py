@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from ..operators.clustering import assign_clusters, kmeans_fit, semdedup_pairs
 from .registry import register
 
@@ -126,7 +126,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     centroids = trained_centroids(spark, sf_dir, k=8, n_iter=3)
-    assigned = assign_clusters(emb, centroids).cache()
+    assigned = query_persist(assign_clusters(emb, centroids))
     # Fill the cache NOW (iterative-construction query): the final plan
     # reads `assigned` three times (both self-join sides + sizes); an
     # unfilled cache would recompute the assignment argmax per consumer

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from .registry import register
 
 #: First 8 hex chars of the md5 of the (trimmed) text → 32-bit int.
@@ -286,9 +286,11 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeat invocations — no double storage).  Retention is
     # intentional suite-level sharing: pair sets are near-dup-sized
     # (≪ corpus), dropped with the session, one entry per sf_dir.
-    pairs = ngram_jaccard_pairs(
-        blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
-    ).cache()
+    pairs = query_persist(
+        ngram_jaccard_pairs(
+            blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
+        )
+    )
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").cast("long")
     )

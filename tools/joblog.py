@@ -56,11 +56,16 @@ def main() -> int:
     def fetch(df):
         return df.toArrow().to_pandas()
 
-    marks = []  # (name, run, t_start_ms, t_end_ms)
+    marks = []  # (name, run, t_start_ms, t_end_ms, wall_s)
+    from ex9_big_data_gal_drimer_spark.catalog import release_query_caches
+
     for name in args.names:
         fn = QUERIES[name]
         fetch(fn(spark, args.sf))  # warmup
         for r in range(args.runs):
+            # bench.py methodology: query-created caches are released
+            # before every timed run so their fill cost is charged.
+            release_query_caches()
             spark.sparkContext.setJobDescription(f"{name}#run{r}")
             t0 = time.time() * 1000
             tw = time.perf_counter()
@@ -88,40 +93,38 @@ def main() -> int:
         parts = [path]
     jobs = {}   # id -> dict
     stages = {}  # id -> dict
-    import itertools
 
     def lines():
         for p in parts:
             with open(p) as fh:
                 yield from fh
 
-    if True:
-        for line in lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                props = ev.get("Properties") or {}
-                jobs[jid] = {
-                    "start": ev["Submission Time"],
-                    "desc": props.get("spark.job.description", ""),
-                    "callsite": props.get("callSite.short", ""),
-                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
-                    "ntasks": sum(s.get("Number of Tasks", 0) for s in ev.get("Stage Infos", [])),
-                }
-            elif e == "SparkListenerJobEnd":
-                if ev["Job ID"] in jobs:
-                    jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si.get("Stage Name", ""),
-                    "dur": (si.get("Completion Time", 0) - si.get("Submission Time", 0)),
-                    "ntasks": si.get("Number of Tasks", 0),
-                }
+    for line in lines():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            props = ev.get("Properties") or {}
+            jobs[jid] = {
+                "start": ev["Submission Time"],
+                "desc": props.get("spark.job.description", ""),
+                "callsite": props.get("callSite.short", ""),
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+                "ntasks": sum(s.get("Number of Tasks", 0) for s in ev.get("Stage Infos", [])),
+            }
+        elif e == "SparkListenerJobEnd":
+            if ev["Job ID"] in jobs:
+                jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            stages[si["Stage ID"]] = {
+                "name": si.get("Stage Name", ""),
+                "dur": (si.get("Completion Time", 0) - si.get("Submission Time", 0)),
+                "ntasks": si.get("Number of Tasks", 0),
+            }
 
     for name, r, t0, t1, wall in marks:
         print(f"\n=== {name} run{r}: wall {wall:.3f}s ===")

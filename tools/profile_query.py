@@ -20,7 +20,10 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ex9_big_data_gal_drimer_spark.catalog import cache_tables
+from ex9_big_data_gal_drimer_spark.catalog import (
+    cache_tables,
+    release_query_caches,
+)
 from ex9_big_data_gal_drimer_spark.plans import QUERIES
 from ex9_big_data_gal_drimer_spark.plans.registry import ITERATIVE_CONSTRUCTION
 from ex9_big_data_gal_drimer_spark.session import get_spark
@@ -69,6 +72,9 @@ def main() -> int:
         samples = []
         jobs = []
         for i in range(args.repeats):
+            # bench.py methodology: query-created caches are released
+            # before every timed run so their fill cost is charged.
+            release_query_caches()
             spark.sparkContext.setJobGroup(f"{name}#{i}", name)
             if name in ITERATIVE_CONSTRUCTION:
                 t0 = time.perf_counter()
