@@ -116,6 +116,84 @@ def resample_hourly_ffill(
     )
 
 
+def resample_hourly_ffill_native(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Row-identical relational twin of the single-group
+    :func:`resample_hourly_ffill` with NO Python boundary (round-14,
+    guide §4.1 — built-ins over grouped-map where they exist): the
+    per-key hourly grid comes from ``sequence`` + ``explode`` over the
+    key's span, and the as-of forward-fill is the classic
+    union-then-running-``last(ignorenulls)`` window — grid points and
+    observations are interleaved in (ts, kind) order, so the latest
+    observation AT-OR-BEFORE each grid point is the running ``last``
+    of the observation rows.
+
+    Semantics matched to the pandas form exactly:
+
+    - the observation rides as ONE struct so a NULL value
+      forward-fills NULL (never a stale non-NULL) — same contract as
+      the chunked path's carry struct;
+    - an event exactly ON the hour sorts BEFORE its grid point
+      (events order ``0 < 1`` on the kind column), matching
+      merge_asof's inclusive backward match;
+    - requires unique (key, ts) pairs, like the pandas form.
+
+    Shape at scale: two key-partitioned exchanges (bounds aggregate,
+    fill window) over (key, ts, value) rows plus the calendar-sized
+    grid — no grouped-map shuffle, no Python workers, whole-stage
+    codegen end to end.
+    """
+    in_schema = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    obs_type = f"struct<__ts:{in_schema[ts_col]},__val:{in_schema[value_col]}>"
+    obs = events.select(key_col, ts_col, value_col)
+    # date_trunc yields TIMESTAMP (ltz) even for ntz input — cast back
+    # to the input ts type so the grid unions with observations without
+    # coercion and hour_ts matches the pandas form's timestamp_ntz.
+    bounds = obs.groupBy(key_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).cast(in_schema[ts_col]).alias("__h0"),
+        F.date_trunc("hour", F.max(ts_col)).cast(in_schema[ts_col]).alias("__h1"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("__h0", "__h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    tagged = obs.select(
+        key_col,
+        F.col(ts_col).alias("__t"),
+        F.lit(0).alias("__kind"),
+        F.struct(
+            F.col(ts_col).alias("__ts"), F.col(value_col).alias("__val")
+        ).alias("__obs"),
+    ).unionByName(
+        grid.select(
+            key_col,
+            F.col("hour_ts").alias("__t"),
+            F.lit(1).alias("__kind"),
+            F.lit(None).cast(obs_type).alias("__obs"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__t", "__kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("__fill", F.last("__obs", ignorenulls=True).over(w))
+        .filter(F.col("__kind") == 1)
+        .select(
+            key_col,
+            F.col("__t").alias("hour_ts"),
+            F.col("__fill.__val").alias("filled_value"),
+        )
+    )
+
+
 def _resample_hourly_ffill_chunked(
     events: DataFrame,
     key_col: str,

@@ -165,18 +165,21 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def resample_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map custom operator (applyInPandas): each user's
-    irregular event stream resampled onto an hourly grid with
-    forward-fill (operators.resample), then summarized per user.
+    """Hourly resample with forward-fill, NATIVE plan (round-14,
+    guide §4.1): per-key grid via sequence+explode and the as-of fill
+    via a running last(ignorenulls) window — no Python boundary.  The
+    oracle reproduces the semantics with generate_series + ASOF join.
 
-    The pandas per-group function IS the operator; the oracle
-    reproduces its semantics relationally (generate_series grid +
-    ASOF join) — the differential check that the imperative and
-    declarative forms agree is the point of the test.
+    The grouped-map pandas tier keeps its exemplar in
+    resample_user_hourly_chunked (applyInArrow per (key, chunk));
+    this query's applyInPandas form measured ~0.8 s of pure per-group
+    Python at sf0.1 where the relational twin is row-identical
+    (tests/test_resample_skew.py pins native ≡ applyInPandas exactly)
+    and runs in whole-stage codegen.
     """
-    from ..operators.resample import resample_hourly_ffill
+    from ..operators.resample import resample_hourly_ffill_native
 
-    filled = resample_hourly_ffill(table(spark, sf_dir, "events"))
+    filled = resample_hourly_ffill_native(table(spark, sf_dir, "events"))
     return (
         filled.groupBy("user_id")
         .agg(

@@ -15,7 +15,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from ex9_big_data_gal_drimer_spark.operators.resample import resample_hourly_ffill
+from ex9_big_data_gal_drimer_spark.operators.resample import (
+    resample_hourly_ffill,
+    resample_hourly_ffill_native,
+)
 
 
 def _write_events(tmp_path, rows):
@@ -38,6 +41,31 @@ def _collect(df):
         ((r.user_id, r.hour_ts, r.filled_value) for r in df.collect()),
         key=lambda t: (t[0], t[1]),
     )
+
+
+def test_native_equals_grouped_map(spark, tmp_path):
+    """The relational twin (sequence grid + running last(ignorenulls)
+    window — round-14, resample_user_hourly's plan) must be
+    row-identical to the applyInPandas form, including NULL-value
+    observations (forward-fill NULL, never a stale value), events
+    exactly on the hour (inclusive as-of match), and grid points
+    before the first observation (NULL fill).  Schema must match too
+    (hour_ts stays timestamp_ntz)."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(50):  # irregular stride drifting over hours
+        rows.append((1, base + dt.timedelta(minutes=97 * i), float(i)))
+    rows.append((2, base + dt.timedelta(hours=1), 5.0))  # exactly on the hour
+    rows.append((2, base + dt.timedelta(hours=3, minutes=30), None))  # NULL obs
+    rows.append((2, base + dt.timedelta(hours=6, minutes=1), 7.0))
+    rows.append((3, base + dt.timedelta(minutes=59), 1.0))  # single event
+    _write_events(tmp_path, rows)
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    pandas_form = resample_hourly_ffill(ev)
+    native_form = resample_hourly_ffill_native(ev)
+    assert native_form.schema == pandas_form.schema
+    assert _collect(native_form) == _collect(pandas_form)
 
 
 def test_chunked_equals_unsplit_on_planted_skew(spark, tmp_path):
