@@ -114,24 +114,32 @@ def _converge_probe(e: DataFrame):
     stable across a round), which always spent one extra full
     contraction round — two star steps, a distinct and a checkpoint
     materialization — just to observe that nothing changed.  The
-    certificate is two label joins inside the same single job, and it
-    also materializes the (lazy) checkpoint and counts edges for the
+    certificate computes the label aggregation ONCE (round-14; the
+    round-13 form joined labels onto both edge endpoints, executing
+    the full symmetrize+groupBy twice per probe — r13 ADVICE): labels
+    join onto the SYMMETRIC edge list by source node, so each
+    canonical edge (a, b) with a > b carries exactly two rows —
+    (u=a, lab=L(a)) and (u=b, lab=L(b)) — and grouping by the
+    canonical key with min(lab) != max(lab) flags precisely the edges
+    whose endpoints disagree, the identical criterion.  It also
+    materializes the (lazy) checkpoint and counts edges for the
     parallelism derivation.  Correctness is pinned by
     tests/test_graph.py's union-find differential on random graphs
     and the planted multi-round chain."""
-    labels = _labels(e)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("_lab")
+    )
     row = (
-        e.join(
-            labels.select(F.col("node").alias("u"), F.col("component").alias("_lu")),
-            "u",
+        sym.join(labels, "u")
+        .groupBy(
+            F.greatest(F.col("u"), F.col("v")).alias("_a"),
+            F.least(F.col("u"), F.col("v")).alias("_b"),
         )
-        .join(
-            labels.select(F.col("node").alias("v"), F.col("component").alias("_lv")),
-            "v",
-        )
+        .agg((F.min("_lab") != F.max("_lab")).alias("_mismatch"))
         .agg(
             F.count(F.lit(1)).alias("n_edges"),
-            F.sum((F.col("_lu") != F.col("_lv")).cast("long")).alias("bad"),
+            F.sum(F.col("_mismatch").cast("long")).alias("bad"),
         )
         .collect()[0]
     )
