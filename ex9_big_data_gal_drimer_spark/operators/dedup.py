@@ -82,15 +82,20 @@ def ngram_jaccard_pairs(
         )
         .select("doc_id", *block_cols, F.size("sh").alias("n_sh"), "sh")
     )
-    # Cache the posting list: both sides of the self-join read it, and
-    # without the cache each side re-runs the tokenize/shingle/explode
-    # pipeline (same pattern as the MinHash/SimHash signature caches).
-    # CacheManager keys on the logical plan, so repeated calls with the
-    # same source reuse one entry rather than accumulating.
-    posting = query_persist(
-        base.select(
-            "doc_id", *block_cols, "n_sh", F.explode("sh").alias("shingle")
-        )
+    # Cache the per-doc shingle ARRAYS and explode ABOVE the cache
+    # (round-14): both self-join sides still share one tokenize/shingle
+    # pass, but the fill plan no longer contains a Generate — exploding
+    # below the cache made InferFiltersFromGenerate push a
+    # size(shingles(text)) > 0 filter through the repartition exchange
+    # down to the scan, re-evaluating the whole tokenize+shingle chain
+    # per row inside the filter (the built-in-expression analogue of
+    # guide §4.4's duplicated-UDF pushdown).  The explode above the
+    # cache re-slices stored arrays (cheap), and its inferred filter
+    # tests the stored column.  The array grain also stores each doc's
+    # (id, blocks, n_sh) once instead of once per shingle.
+    base = query_persist(base)
+    posting = base.select(
+        "doc_id", *block_cols, "n_sh", F.explode("sh").alias("shingle")
     )
     a, b = posting.alias("a"), posting.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
@@ -252,18 +257,26 @@ def minhash_lsh_pairs(
         .repartition(par, F.col("doc_id"))
     )
 
-    sigs = docs.select(
-        "doc_id",
-        "sh",
-        F.posexplode(
+    # Cache (doc_id, sh, band-hash ARRAY) and posexplode ABOVE the
+    # cache (round-14): both candidate-join sides share one
+    # shingle+16-minhash pass as before, but the fill plan carries no
+    # Generate (whose inferred size>0 filter re-ran the whole chain in
+    # the scan filter) and stores each doc's `sh` array once instead
+    # of once per band row.
+    base = query_persist(
+        docs.select(
+            "doc_id",
+            "sh",
             band_hashes(
-                minhash_signature(F.col("sh"), num_hashes), num_bands, rows_per_band
-            )
-        ).alias("band_id", "band_hash"),
+                minhash_signature(F.col("sh"), num_hashes),
+                num_bands,
+                rows_per_band,
+            ).alias("bh"),
+        )
     )
-    # both candidate-join sides read this; uncached, each side
-    # re-derives shingles + 16 minhashes per doc
-    sigs = query_persist(sigs)
+    sigs = base.select(
+        "doc_id", "sh", F.posexplode("bh").alias("band_id", "band_hash")
+    )
 
     a, b = sigs.alias("a"), sigs.alias("b")
     candidates = (

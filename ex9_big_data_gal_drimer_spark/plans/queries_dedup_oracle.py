@@ -45,51 +45,65 @@ def _md5int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct 3-word shingles per document.
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): the per-doc ARRAY of distinct 3-word shingles,
+    persisted — the family's one corpus-tokenization pass.
 
-    Persisted: every md5-twin query consumes this relation through
-    several plan legs (signature aggregate, per-doc counts, both
-    sides of the exact-intersection join), and each leg — plus each
-    broadcast build — re-ran the corpus explode+distinct otherwise
-    (round-13, guide §2.4).  CacheManager keys on the canonical plan,
-    so the whole family shares ONE cached copy — the same contract as
-    the CC family's cached pair edges.  Registered via query_persist:
-    the bench releases it between timed runs, so each query's number
-    charges its own materialization (round-13 verdict #2)."""
+    Round-14 grain change (values untouched): word_shingles is
+    array_distinct, so exploding it already yields unique (doc_id, s)
+    rows — the old exploded+``.distinct()`` cache paid a full exchange
+    to dedupe rows that were unique by construction, and the Generate
+    in its fill plan made InferFiltersFromGenerate push a
+    size(shingles(text)) > 0 predicate down to the scan, re-running
+    the whole tokenize+shingle chain inside the filter.  Caching the
+    arrays removes both: the fill is one map-side projection, per-doc
+    counts become ``size(sh)``, the signature becomes a map-side
+    array fold, and the exact-intersection join explodes the stored
+    arrays on demand.  Registered via query_persist: the bench
+    releases it between timed runs, so each query's number charges
+    its own materialization (round-13 verdict #2)."""
     return query_persist(
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s"))
-        .distinct()
+        table(spark, sf_dir, "documents").select(
+            "doc_id", word_shingles(tokens("text"), 3).alias("sh")
+        )
     )
 
 
-def _signature(sh: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh7): the K-slot md5 MinHash signature, WIDE.
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct shingle rows, exploded from the cached
+    per-doc arrays (unique by word_shingles' array_distinct)."""
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
 
-    Round-13 shape (guide §2.3 "aggregate before you shuffle" /
-    §2.4 "remove shuffles outright"): the original form exploded every
-    (doc, shingle) row into K=8 slot rows and aggregated by
-    (doc_id, hi) — 8× the rows into the exchange and a second
-    aggregation downstream to fold bands.  The K slot hashes are
-    independent column expressions over the same shingle, so one
-    groupBy(doc_id) with K min() aggregates produces the identical
-    signature VALUES from 1/8th the aggregation input rows and one
-    exchange.  Slot i's hash string is byte-identical to the exploded
-    form's (CAST(hi AS STRING) = str(i) for 0..7).
+
+def _signature(doc_sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7): the K-slot md5 MinHash signature, WIDE —
+    computed entirely map-side over the cached per-doc shingle arrays
+    (round-14): slot i is array_min(transform(sh, s -> md5int(i:s))),
+    the same minimum over the same hash strings the round-13
+    groupBy(doc_id)+K×min() computed, with ZERO exchanges (the
+    round-12 form had exploded ×8 and aggregated twice).  word_shingles
+    arrays are never empty (short docs collapse to the whole-text
+    shingle), so array_min never returns NULL.
 
     Persisted (round-13): the signature feeds the band explode AND
-    both slot-agreement broadcast sides, and each broadcast build
-    re-ran the 8-hash aggregate over the full shingle relation —
-    doc-count × (K+1) columns, trivially cache-sized."""
+    both slot-agreement broadcast sides; the fill is now one map-side
+    projection over the shingle cache."""
+    def slot(i: int):
+        # one-arg closure: a two-parameter lambda would be treated by
+        # F.transform as the (element, index) form, binding i to the
+        # array-index column
+        prefix = f"{i}:"
+        return lambda s: _md5int(F.concat(F.lit(prefix), s))
+
     return query_persist(
-        sh.groupBy("doc_id").agg(
+        doc_sh.select(
+            "doc_id",
             *[
-                F.min(
-                    _md5int(F.concat(F.lit(f"{i}:"), F.col("s")))
-                ).alias(f"mh{i}")
+                F.array_min(F.transform(F.col("sh"), slot(i))).alias(f"mh{i}")
                 for i in range(_K)
-            ]
+            ],
         )
     )
 
@@ -206,9 +220,13 @@ def minhash_lsh_oracle_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:211, rows-only by hash family); reference has
     no dedup surface — build-brief X2 tier.  The sf0.01 corpus plants
     24 exact + 1 near duplicate pair, all emitted here."""
+    doc_sh = _doc_shingles(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
-    cand = _candidates(_band_buckets(_signature(sh)))
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = _candidates(_band_buckets(_signature(doc_sh)))
+    # per-doc shingle count map-side from the cached arrays: size(sh)
+    # equals the old exploded groupBy count (arrays are distinct by
+    # construction) with no aggregation at all (round-14).
+    cnt = doc_sh.select("doc_id", F.size("sh").alias("n"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -276,8 +294,9 @@ def minhash_estimate_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring row that validates a deployed sketch's accuracy budget.
     Cross-engine deterministic via the md5 hash family (see module
     docstring)."""
+    doc_sh = _doc_shingles(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
-    sig = _signature(sh)
+    sig = _signature(doc_sh)
     cand = _candidates(_band_buckets(sig))
     # Slot agreement over the WIDE signature: one broadcast join per
     # side and a scalar expression — the exploded form's sig⋈sig
@@ -304,7 +323,9 @@ def minhash_estimate_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (n_match / _K).alias("est_jaccard"))
     )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc shingle count map-side from the cached arrays (round-14,
+    # same as minhash_lsh_oracle_md5).
+    cnt = doc_sh.select("doc_id", F.size("sh").alias("n"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -501,7 +522,7 @@ def edit_distance_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on (band, key); the text join back
     is two keyed joins shipping only candidate doc_ids against the
     corpus — no text ever moves for non-candidates."""
-    cand = _candidates(_band_buckets(_signature(_shingles(spark, sf_dir))))
+    cand = _candidates(_band_buckets(_signature(_doc_shingles(spark, sf_dir))))
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     ta = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
