@@ -67,15 +67,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
     )
-    # Cache the pair edge set: it is the expensive part (inverted-index
-    # self-join) and the CC loop's initial checkpoint re-materializes
-    # it on every rebuild of this query.  CacheManager keys on the
-    # logical plan, so repeated calls share one entry — the same
-    # pattern as the posting-list cache inside ngram_jaccard_pairs.
-    pairs = query_persist(
-        ngram_jaccard_pairs(
-            docs, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
-        )
+    # NOT persisted (round-14): the CC loop's lazy localCheckpoint
+    # materializes the pair pipeline exactly once per run, so a cache
+    # here has a single consumer — under the charge-per-run harness it
+    # was pure fill overhead (the r13 cache only paid off via warm
+    # cross-query sharing, which the honest harness releases).
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
     )
     return (
         connected_components(pairs)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import query_persist, table
+from ..catalog import table
 from ..functions import case_map, token_count
 from ..operators.relational import percent_of_total, sorted_small
 from .registry import register
@@ -60,7 +60,12 @@ def _orders_with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-    return query_persist(joined.select(*_BASE_COLS))
+    # NOT persisted (round-14): each flagship query reads this join
+    # exactly once per run, so under the charge-per-run harness the
+    # cache was pure fill cost (its r13 value was warm cross-query
+    # sharing, which the honest harness releases between runs) — and
+    # uncached, per-query filters push down to the parquet scan again.
+    return joined.select(*_BASE_COLS)
 
 
 @register(

@@ -32,7 +32,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import local_df, query_persist, table
+from ..catalog import local_df, table
 from ..sources.layout import path_tag
 from .queries_graph import CC_ORACLE_CTES
 from .registry import ITERATIVE_CONSTRUCTION, register
@@ -215,10 +215,13 @@ def incremental_cc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = table(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
     )
-    pairs = query_persist(
-        ngram_jaccard_pairs(
-            blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
-        )
+    # NOT persisted (round-14): with the settled state table on disk
+    # the pair relation has ONE consumer per run (the delta filter);
+    # only the first-ever run of a dataset also builds the settled
+    # slice, and that one-time double read is cheaper than charging a
+    # cache fill to every run.
+    pairs = ngram_jaccard_pairs(
+        blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
     )
     # watermark: exact integer arithmetic in both engines.  Collected
     # fresh on every construction — round-13's (session, sf_dir) memo

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import query_persist, table
+from ..catalog import table
 from .registry import register
 
 #: First 8 hex chars of the md5 of the (trimmed) text → 32-bit int.
@@ -281,15 +281,12 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = table(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")
     )
-    # identical pair plan to dedup_connected_components → CacheManager
-    # shares the cached edge set between the two queries (and dedupes
-    # repeat invocations — no double storage).  Retention is
-    # intentional suite-level sharing: pair sets are near-dup-sized
-    # (≪ corpus), dropped with the session, one entry per sf_dir.
-    pairs = query_persist(
-        ngram_jaccard_pairs(
-            blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
-        )
+    # NOT persisted (round-14): the CC loop's lazy localCheckpoint
+    # reads the pair pipeline exactly once per run — a cache here has
+    # one consumer and is pure fill overhead under the charge-per-run
+    # harness (cross-query warm sharing is released between runs).
+    pairs = ngram_jaccard_pairs(
+        blocked, block_cols=("lang", "len_bucket"), shingle_k=3, threshold=0.5
     )
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").cast("long")
