@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from .registry import register
 
 
@@ -149,7 +149,11 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.filter((F.col("n_chars") >= 100) & (punct_ratio <= 0.05))
 
     keep = exact_dedup(quality).select(F.col("keep_doc_id").alias("doc_id"))
-    exact = quality.join(keep, "doc_id", "left_semi")
+    # Persisted (round-14, guide §2.4): three funnel legs read the
+    # exact-dedup survivors (the near-dup pair stage, the per-stage
+    # n_exact aggregate, and the final left-anti) — uncached, each
+    # re-ran the quality filter + fingerprint aggregate + semi-join.
+    exact = query_persist(quality.join(keep, "doc_id", "left_semi"))
 
     pairs = ngram_jaccard_pairs(
         exact.withColumn("len_bucket", (F.col("n_chars") / F.lit(50)).cast("long")),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import query_persist, table
 from ..functions import tokens, word_shingles
 from ..operators.privacy import pii_counts, redact_pii
 from ..operators.text import distinct_token_ratio, dup_bigram_fraction
@@ -239,11 +239,17 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one train-corpus scan + a hash probe per shingle.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        word_shingles(tokens(F.col("text")), 3).alias("sh"),
+    # Persisted (round-14, guide §2.4): the eval-side distinct and the
+    # train-side explode each re-ran the corpus tokenize+shingle chain
+    # otherwise; one map-side fill serves both (array grain — no
+    # Generate in the fill plan, see operators/dedup.py round-14 note).
+    sh = query_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            word_shingles(tokens(F.col("text")), 3).alias("sh"),
+        )
     )
     eval_sh = (
         sh.filter(F.col("source") == "src0")
