@@ -296,11 +296,20 @@ def approx_distinct_scale_variant(spark: SparkSession, sf_dir: str) -> DataFrame
     joined at the end: combining an exact multi-DISTINCT with plain
     aggregates in one pass makes Catalyst's Expand rewrite multiply
     every input row through the HLL updates too (measured 2-3× slower
-    than the two-pass form)."""
+    than the two-pass form).
+
+    Round-14 (guide §1.2 — don't compute what you throw away): the
+    orderkey HLL now updates over the DEDUPED key set that the exact
+    count builds anyway — an HLL sketch is a function of the value
+    SET, so the estimate is bit-identical while the full-row pass
+    updates one sketch (l_partkey) instead of two."""
     li = table(spark, sf_dir, "lineitem")
-    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
-    approx = li.agg(
+    keys = li.select("l_orderkey").where(F.col("l_orderkey").isNotNull()).distinct()
+    exact = keys.agg(
+        F.count(F.lit(1)).alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+    approx = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
     return exact.crossJoin(F.broadcast(approx))
