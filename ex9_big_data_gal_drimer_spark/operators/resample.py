@@ -124,74 +124,103 @@ def resample_hourly_ffill_native(
 ) -> DataFrame:
     """Row-identical relational twin of the single-group
     :func:`resample_hourly_ffill` with NO Python boundary (round-14,
-    guide §4.1 — built-ins over grouped-map where they exist): the
-    per-key hourly grid comes from ``sequence`` + ``explode`` over the
-    key's span, and the as-of forward-fill is the classic
-    union-then-running-``last(ignorenulls)`` window — grid points and
-    observations are interleaved in (ts, kind) order, so the latest
-    observation AT-OR-BEFORE each grid point is the running ``last``
-    of the observation rows.
+    guide §4.1 — built-ins over grouped-map where they exist).
+
+    Interval form, so ONLY EVENT ROWS ever shuffle (guide §2.3 —
+    shuffle keys/metadata, generate the payload after the exchange):
+    one key-partitioned window computes each observation's successor
+    timestamp (lead) plus the key's span bounds; each observation then
+    emits, MAP-SIDE, exactly the grid hours it is the latest
+    observation for — ``sequence(first grid point ≥ ts, last grid
+    point < next ts)`` — and the key's first grid point is emitted
+    with a NULL fill when it precedes every observation.  A first
+    draft that unioned grid points with observations and ran a running
+    ``last(ignorenulls)`` window was row-identical but shuffled the
+    GRID through the window exchange (11.2 MB vs 1.7 MB at sf0.1,
+    SHUFFLE audit) — the grid is derived data and never needs to move.
 
     Semantics matched to the pandas form exactly:
 
-    - the observation rides as ONE struct so a NULL value
-      forward-fills NULL (never a stale non-NULL) — same contract as
-      the chunked path's carry struct;
-    - an event exactly ON the hour sorts BEFORE its grid point
-      (events order ``0 < 1`` on the kind column), matching
-      merge_asof's inclusive backward match;
+    - an observation exactly ON the hour owns its own grid point
+      (``first grid point ≥ ts`` is ts itself), matching merge_asof's
+      inclusive backward match; its predecessor's interval ends
+      strictly below (``last grid point < next ts``);
+    - a NULL-valued observation forward-fills NULL for its whole
+      interval (the value rides the observation row — there is no
+      cross-observation fill to leak a stale value);
     - requires unique (key, ts) pairs, like the pandas form.
 
-    Shape at scale: two key-partitioned exchanges (bounds aggregate,
-    fill window) over (key, ts, value) rows plus the calendar-sized
-    grid — no grouped-map shuffle, no Python workers, whole-stage
-    codegen end to end.
+    Shape at scale: ONE key-partitioned exchange of the observation
+    rows; the grid explode and the NULL-prefix row are map-side over
+    that partitioning; downstream per-key aggregations combine
+    map-side before any further exchange.  No Python workers,
+    whole-stage codegen end to end.
     """
     in_schema = {f.name: f.dataType.simpleString() for f in events.schema.fields}
-    obs_type = f"struct<__ts:{in_schema[ts_col]},__val:{in_schema[value_col]}>"
-    obs = events.select(key_col, ts_col, value_col)
-    # date_trunc yields TIMESTAMP (ltz) even for ntz input — cast back
-    # to the input ts type so the grid unions with observations without
-    # coercion and hour_ts matches the pandas form's timestamp_ntz.
-    bounds = obs.groupBy(key_col).agg(
-        F.date_trunc("hour", F.min(ts_col)).cast(in_schema[ts_col]).alias("__h0"),
-        F.date_trunc("hour", F.max(ts_col)).cast(in_schema[ts_col]).alias("__h1"),
-    )
-    grid = bounds.select(
-        key_col,
-        F.explode(
-            F.sequence("__h0", "__h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour_ts"),
-    )
-    tagged = obs.select(
+    ts_type = in_schema[ts_col]
+    obs = events.select(
         key_col,
         F.col(ts_col).alias("__t"),
-        F.lit(0).alias("__kind"),
-        F.struct(
-            F.col(ts_col).alias("__ts"), F.col(value_col).alias("__val")
-        ).alias("__obs"),
-    ).unionByName(
-        grid.select(
+        F.col(value_col).alias("__v"),
+    )
+    wseq = Window.partitionBy(key_col).orderBy("__t")
+    wall = Window.partitionBy(key_col)
+    # date_trunc yields TIMESTAMP (ltz) even for ntz input — cast back
+    # to the input ts type everywhere so grid arithmetic and output
+    # stay in the pandas form's timestamp_ntz.
+    def floor_h(c):
+        return F.date_trunc("hour", c).cast(ts_type)
+
+    e = obs.select(
+        key_col,
+        "__t",
+        "__v",
+        F.lead("__t").over(wseq).alias("__nxt"),
+        F.min("__t").over(wall).alias("__lo"),
+        F.max("__t").over(wall).alias("__hi"),
+    )
+    # first grid point this observation owns: smallest hour >= __t
+    start = F.when(floor_h(F.col("__t")) == F.col("__t"), F.col("__t")).otherwise(
+        floor_h(F.col("__t")) + F.expr("INTERVAL 1 HOUR")
+    )
+    # last grid point this observation owns: largest hour < __nxt for
+    # interior observations (the successor owns its own on-hour point),
+    # or the grid end floor(__hi) for the key's last observation
+    end = F.when(
+        F.col("__nxt").isNull(), floor_h(F.col("__hi"))
+    ).otherwise(
+        F.when(
+            floor_h(F.col("__nxt")) == F.col("__nxt"),
+            F.col("__nxt") - F.expr("INTERVAL 1 HOUR"),
+        ).otherwise(floor_h(F.col("__nxt")))
+    )
+    filled = (
+        e.select(
             key_col,
-            F.col("hour_ts").alias("__t"),
-            F.lit(1).alias("__kind"),
-            F.lit(None).cast(obs_type).alias("__obs"),
+            "__v",
+            F.explode(
+                F.when(
+                    start <= end,
+                    F.sequence(start, end, F.expr("INTERVAL 1 HOUR")),
+                ).otherwise(F.array().cast(f"array<{ts_type}>"))
+            ).alias("hour_ts"),
         )
+        .select(key_col, "hour_ts", F.col("__v").alias("filled_value"))
     )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("__t", "__kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        tagged.withColumn("__fill", F.last("__obs", ignorenulls=True).over(w))
-        .filter(F.col("__kind") == 1)
+    # the key's first grid point floor(min ts) precedes every
+    # observation unless the first observation is exactly on the hour
+    prefix = (
+        e.filter(
+            (F.col("__t") == F.col("__lo"))
+            & (floor_h(F.col("__lo")) < F.col("__lo"))
+        )
         .select(
             key_col,
-            F.col("__t").alias("hour_ts"),
-            F.col("__fill.__val").alias("filled_value"),
+            floor_h(F.col("__lo")).alias("hour_ts"),
+            F.lit(None).cast(in_schema[value_col]).alias("filled_value"),
         )
     )
+    return filled.unionByName(prefix)
 
 
 def _resample_hourly_ffill_chunked(

@@ -32,7 +32,10 @@ import sys
 
 sys.path.insert(0, ".")
 
-from ex9_big_data_gal_drimer_spark.catalog import cache_tables  # noqa: E402
+from ex9_big_data_gal_drimer_spark.catalog import (  # noqa: E402
+    cache_tables,
+    release_query_caches,
+)
 from ex9_big_data_gal_drimer_spark.plans import QUERIES  # noqa: E402
 from ex9_big_data_gal_drimer_spark.session import get_spark  # noqa: E402
 
@@ -97,6 +100,9 @@ def main() -> int:
     report: dict[str, dict] = {}
     for name, fn in sorted(QUERIES.items()):
         try:
+            # bench.py methodology (round-14): query caches released per
+            # run, so each audited plan executes its own cache fills.
+            release_query_caches()
             df = fn(spark, sf_dir)
             df.toArrow()
             report[name] = collect_plan_metrics(df)
