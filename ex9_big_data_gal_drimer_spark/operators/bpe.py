@@ -6,13 +6,14 @@ Classic byte-pair-encoding training (Sennrich et al. 2016) over a
 word-frequency table: each round counts adjacent symbol pairs weighted
 by word frequency, picks the most frequent pair (ties broken
 lexicographically so the result is engine-exact), and merges that pair
-everywhere.  The distributed shape mirrors the fixed-budget iteration
-precedent (pagerank_part_cooccurrence): the ONE corpus-scale job is
-the initial word count; every training round then runs over the
-vocabulary-sized (word, count) relation — at 100 TB the rounds cost
-the same as at 1 GB because the vocabulary, not the corpus, is the
-working set.  The per-round driver traffic is exactly one argmax row
-(model-sized collect — ITERATIVE_CONSTRUCTION), never data.
+everywhere.  The ONE corpus-scale job is the initial word count; the
+training rounds then run DRIVER-SIDE over the collected
+vocabulary-sized (count, seq) table — at 100 TB training costs the
+same as at 1 GB because the vocabulary, not the corpus, is the
+working set, and a top-500 vocabulary is model state, not data
+(the k-means-centroids precedent in operators/clustering.py).  The
+driver traffic is exactly one vocabulary collect
+(ITERATIVE_CONSTRUCTION), never corpus data.
 
 Merge-step semantics (pinned so the DuckDB oracle can unroll the SAME
 computation): symbol sequences are space-separated strings padded with
@@ -47,29 +48,6 @@ def chars_to_seq(word_col: F.Column) -> F.Column:
     )
 
 
-def _pair_counts(seqs: DataFrame) -> DataFrame:
-    """(l, r, pc): adjacent-symbol pair counts weighted by word count."""
-    return (
-        seqs.select("cnt", F.split(F.trim(F.col("seq")), " ").alias("toks"))
-        # A fully merged word is ONE token and emits no pairs.  The
-        # filter is load-bearing for cross-engine parity: Spark's
-        # sequence(1, 0) yields the DESCENDING [1, 0], while DuckDB's
-        # range(1, 1) is empty.
-        .filter(F.size("toks") >= 2)
-        .select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> struct(toks[i-1] AS l, toks[i] AS r))"
-                )
-            ).alias("p"),
-        )
-        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .agg(F.sum("cnt").alias("pc"))
-    )
-
-
 def train_bpe_merges(
     seqs: DataFrame, rounds: int, *, require_all: bool = False
 ) -> list[Row]:
@@ -77,9 +55,24 @@ def train_bpe_merges(
     (``seq`` as produced by :func:`chars_to_seq`); returns one Row per
     round: (round, lhs, rhs, pair_count, merged).
 
-    ``seqs`` should be persisted by the caller: each round's pair
-    count re-evaluates the (vocabulary-sized) relation with the merge
-    rewrites chained on top.
+    The vocabulary is collected ONCE (it is model-sized by
+    construction: every caller feeds a top-N word table) and the merge
+    rounds run driver-side over the collected (cnt, seq) pairs — the
+    same model-state-lives-on-the-driver contract as the k-means
+    centroids in operators/clustering.py.  The round-13 form instead
+    ran one distributed argmax job per round over the persisted
+    relation; with a 500-row vocabulary each round was pure per-job
+    floor — Catalyst re-analysis of the full corpus lineage plus job
+    scheduling, ~0.25 s/round against ~1 ms of driver arithmetic
+    (round-14, guide §1.2: the cheapest shuffle is the one the
+    vocabulary-sized working set never needed).  The driver arithmetic
+    is exact, not approximate: Python ``str.replace`` is the same
+    leftmost-non-overlapping all-occurrences scan as SQL ``replace``,
+    integer pair counts are exact in both, and the (pc DESC, l ASC,
+    r ASC) tie-break compares code points in both (UTF-8 byte order ==
+    code-point order).  A fully merged word is ONE token and emits no
+    pairs — the same boundary the old distributed form pinned with its
+    size(toks) >= 2 filter.
 
     ``require_all=True`` raises if the vocabulary merges out before
     ``rounds`` completes.  Callers whose differential oracle unrolls
@@ -89,15 +82,18 @@ def train_bpe_merges(
     while the engine would keep producing rows (round-12 ADVICE,
     queries_platform6.py:210).
     """
+    vocab = [(int(r[0]), r[1]) for r in seqs.select("cnt", "seq").collect()]
     merges: list[Row] = []
     for rnd in range(1, rounds + 1):
-        best = (
-            _pair_counts(seqs)
-            .orderBy(F.col("pc").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:  # vocabulary fully merged — nothing left to count
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, seq in vocab:
+            toks = seq.strip(" ").split(" ")
+            if len(toks) < 2:
+                continue
+            for i in range(len(toks) - 1):
+                key = (toks[i], toks[i + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        if not counts:  # vocabulary fully merged — nothing left to count
             if require_all:
                 raise ValueError(
                     f"BPE vocabulary merged out after {rnd - 1} of "
@@ -105,21 +101,21 @@ def train_bpe_merges(
                     "assumes every round produces a merge"
                 )
             break
-        b = best[0]
+        (lhs, rhs), pc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append(
             Row(
                 round=rnd,
-                lhs=b.l,
-                rhs=b.r,
-                pair_count=int(b.pc),
-                merged=b.l + b.r,
+                lhs=lhs,
+                rhs=rhs,
+                pair_count=int(pc),
+                merged=lhs + rhs,
             )
         )
-        pat = F.lit(f" {b.l} {b.r} ")
-        rep = F.lit(f" {b.l}{b.r} ")
-        seqs = seqs.withColumn(
-            "seq", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
-        )
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        vocab = [
+            (cnt, seq.replace(pat, rep).replace(pat, rep))
+            for cnt, seq in vocab
+        ]
     return merges
 
 

@@ -274,13 +274,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("w").asc())
         .limit(500)
     )
+    # No persist: training collects the vocabulary ONCE and runs the
+    # merge rounds driver-side (round-14, operators/bpe.py) — the
+    # relation has a single consumer.
     seqs = words.select(
         "w", "cnt", chars_to_seq(F.col("w")).alias("seq")
-    ).persist()
-    try:
-        merges = train_bpe_merges(seqs, rounds=3, require_all=True)
-    finally:
-        seqs.unpersist()
+    )
+    merges = train_bpe_merges(seqs, rounds=3, require_all=True)
     # local_df, not createDataFrame(list): the latter parallelizes the
     # 3-row result into 32 partitions and its collect was ~0.8 s of
     # this query's ~1.2 s (round-13, guide §1.2).
@@ -379,13 +379,12 @@ def bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("w").asc())
         .limit(500)
     )
+    # No persist: training collects the vocabulary ONCE and runs the
+    # merge rounds driver-side (round-14, operators/bpe.py).
     seqs = words.select(
         "w", "cnt", chars_to_seq(F.col("w")).alias("seq")
-    ).persist()
-    try:
-        merges = train_bpe_merges(seqs, rounds=3, require_all=True)
-    finally:
-        seqs.unpersist()
+    )
+    merges = train_bpe_merges(seqs, rounds=3, require_all=True)
     tok = occ.select("w").distinct().select(
         "w",
         F.size(

@@ -387,15 +387,14 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("w").asc())
         .limit(500)
     )
+    # No persist: training collects the vocabulary ONCE and runs the
+    # merge rounds driver-side (round-14, operators/bpe.py).
     seqs = words.select(
         "w", "cnt", chars_to_seq(F.col("w")).alias("seq")
-    ).persist()
-    try:
-        from ..operators.bpe import train_bpe_merges
+    )
+    from ..operators.bpe import train_bpe_merges
 
-        merges = train_bpe_merges(seqs, rounds=3, require_all=True)
-    finally:
-        seqs.unpersist()
+    merges = train_bpe_merges(seqs, rounds=3, require_all=True)
     tok = occ.select("w").distinct().select(
         "w",
         F.size(
