@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import query_persist
+
 #: Target edges per shuffle partition inside the contraction loop.
 #: Two longs + overhead ≈ 50 B/row → ~100 MB partitions, comfortably
 #: in-memory; at 100 TB-scale pair graphs (billions of edges) this
@@ -253,6 +255,15 @@ def incremental_components(
     lab_b = state.select(
         F.col("node").alias(dst), F.col("component").alias("_cb")
     )
+    # The delta edge set is read THREE times per run — the contraction
+    # below plus both endpoint scans of the new-node union — and the
+    # caller's delta is typically the filtered output of an expensive
+    # pair pipeline (the inverted-index self-join).  Persist the
+    # 2-column projection so the pipeline executes once per run
+    # (guide §2.4); round-14's single-consumer cache sweep removed the
+    # caller-side persist on a one-consumer theory that missed these
+    # two extra references.
+    delta_edges = query_persist(delta_edges.select(src, dst))
     contracted = (
         delta_edges.select(src, dst)
         .join(lab_a, src, "left")
