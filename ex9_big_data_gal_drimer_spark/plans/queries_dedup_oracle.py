@@ -72,9 +72,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s): distinct shingle rows, exploded from the cached
     per-doc arrays (unique by word_shingles' array_distinct)."""
-    return _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
+    return _exploded(_doc_shingles(spark, sf_dir))
+
+
+def _exploded(doc_sh: DataFrame) -> DataFrame:
+    """Explode an already-persisted per-doc shingle relation — callers
+    holding a ``_doc_shingles`` handle use this instead of a second
+    ``_shingles`` call, which would re-run ``query_persist`` on an
+    identical plan (a no-op for the CacheManager but one
+    "already cached" WARN + a py4j round-trip per construction)."""
+    return doc_sh.select("doc_id", F.explode("sh").alias("s"))
 
 
 def _signature(doc_sh: DataFrame) -> DataFrame:
@@ -221,7 +228,7 @@ def minhash_lsh_oracle_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     no dedup surface — build-brief X2 tier.  The sf0.01 corpus plants
     24 exact + 1 near duplicate pair, all emitted here."""
     doc_sh = _doc_shingles(spark, sf_dir)
-    sh = _shingles(spark, sf_dir)
+    sh = _exploded(doc_sh)
     cand = _candidates(_band_buckets(_signature(doc_sh)))
     # per-doc shingle count map-side from the cached arrays: size(sh)
     # equals the old exploded groupBy count (arrays are distinct by
@@ -295,7 +302,7 @@ def minhash_estimate_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine deterministic via the md5 hash family (see module
     docstring)."""
     doc_sh = _doc_shingles(spark, sf_dir)
-    sh = _shingles(spark, sf_dir)
+    sh = _exploded(doc_sh)
     sig = _signature(doc_sh)
     cand = _candidates(_band_buckets(sig))
     # Slot agreement over the WIDE signature: one broadcast join per
